@@ -1,0 +1,449 @@
+"""Driver contract for the spark-graft builder (PySpark target).
+
+`entry(spark)` — flagship BM25 top-k over sf0.001 documents.
+`queries()` — one entry per implemented operator (SURVEY.md §2.2/§2.3 and
+the training-data-pipeline suite); each (spark, sf_dir) -> DataFrame.
+`oracle_sql()` — exact DuckDB twins (same column names, same rounding,
+same tie-breaks). Ops marked rows-only (approximate LSH paths, streaming)
+intentionally have no SQL twin; their exact baselines are separate checked
+entries (e.g. ann_bruteforce_topk oracles ann_lsh's recall target).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elasticsearch_eslib_spark.functions.hashing import (  # noqa: E402
+    sql_md5_long, sql_md5_long_seeded,
+)
+from elasticsearch_eslib_spark.operators import dedup as _dd  # noqa: E402
+from elasticsearch_eslib_spark.operators import enrich as _en  # noqa: E402
+from elasticsearch_eslib_spark.operators import events as _ev  # noqa: E402
+from elasticsearch_eslib_spark.operators import fulltext as _ft  # noqa: E402
+from elasticsearch_eslib_spark.operators import multimodal as _mm  # noqa: E402
+from elasticsearch_eslib_spark.operators import relational as _rel  # noqa: E402
+from elasticsearch_eslib_spark.operators import similarity as _sim  # noqa: E402
+from elasticsearch_eslib_spark.functions import textstats as _ts  # noqa: E402
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-10 for the pinned query set over sf0.001."""
+    return _ft.bm25_topk(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# indexed-WAND bridge: build the REAL block index over `documents` and
+# answer the same queries the relational/SQL formulation answers — the
+# driver-level proof that the index engine agrees with plain SQL.
+# ---------------------------------------------------------------------------
+
+def _bm25_wand_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from elasticsearch_eslib_spark.operators.query import topk_wand
+    from elasticsearch_eslib_spark.plans.build_index import Index, build_index
+    from elasticsearch_eslib_spark.sources.tableio import fingerprint_path
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    # documents → pages shape: url = zero-padded doc_id (keeps dense id
+    # order == doc_id order), lang='xx' (no stopword removal → analyzer
+    # output == whitespace tokens on this pre-tokenized corpus)
+    fp = fingerprint_path(docs_path)
+    work = os.path.join(tempfile.gettempdir(), f"eslib_idx_{fp}")
+    pages_path = os.path.join(work, "pages")
+    index_dir = os.path.join(work, "index")
+    if not os.path.exists(os.path.join(index_dir, "_manifest.json")):
+        docs = spark.read.parquet(docs_path)
+        (docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+            F.to_timestamp(F.lit("2026-01-01")).alias("warc_ts"),
+            F.col("text").cast("binary").alias("html"),
+            F.col("text"),
+            F.lit("xx").alias("lang"))
+         .write.mode("overwrite").parquet(pages_path))
+        build_index(spark, pages_path, index_dir)
+    idx = Index(spark, index_dir)
+    # buffer past k: the final ranking re-breaks ties on round(score, 6) +
+    # doc_id, so WAND must fetch enough candidates that no doc OUTSIDE the
+    # fetched set could tie the rank-k rounded score. The guard below
+    # asserts that at runtime instead of hoping the buffer is wide enough.
+    buf = 20
+    queries = spark.createDataFrame(
+        [(qid, q, _ft.TOPK_K + buf) for qid, q in _ft.FULLTEXT_QUERIES
+         if qid != 6],  # q6 is all-English-stopwords: dropped by the query
+        "query_id long, query string, k int")  # analyzer (lang='en'), by design
+    wand = topk_wand(queries, idx.terms, idx.postings, idx.n_docs, idx.avg_dl)
+    # boundary-tie guard: any absent doc scores ≤ the weakest fetched raw
+    # score, so if round(k-th) > round(weakest) (or the candidate set is
+    # exhausted), no absent doc can displace the rounded top-k. assert_true
+    # fails the job loudly if the 6-decimal tie ever spans the buffer.
+    guard = (wand.groupBy("query_id").agg(
+        F.count("*").alias("__n_cand"),
+        F.max(F.when(F.col("rank") == _ft.TOPK_K,
+                     F.round("score", 6))).alias("__s_k"),
+        F.min(F.round("score", 6)).alias("__s_last"))
+        .withColumn("__ok", (F.col("__n_cand") < _ft.TOPK_K + buf)
+                    | (F.col("__s_k") > F.col("__s_last"))))
+    # map index doc ids back to original doc_id via url; re-rank on the
+    # ROUNDED score so rank ties resolve identically to the SQL twin
+    mapped = (wand.join(idx.docs.select(F.col("doc_id").alias("idx_doc"),
+                                        "url"),
+                        wand["doc_id"] == F.col("idx_doc"))
+              .join(F.broadcast(guard), "query_id")
+              .withColumn("__guard", F.assert_true(
+                  F.col("__ok"), F.lit("rounded-score tie spans the WAND "
+                                       "candidate buffer — widen buf")))
+              .where(F.col("__guard").isNull())  # always true; forces eval
+              .select("query_id",
+                      F.col("url").cast("long").alias("doc_id"),
+                      F.round("score", 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (mapped.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _ft.TOPK_K)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "score"))
+
+
+def _media_features_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.media_features(spark, sf_dir)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # fulltext / index-engine surface
+        "tokenize_tf": _ft.tokenize_tf,
+        "doc_len": _ft.doc_len,
+        "term_df": _ft.term_df,
+        "corpus_stats": _ft.corpus_stats,
+        "bm25_topk": _ft.bm25_topk,
+        "bm25_wand_indexed": _bm25_wand_indexed,
+        "topk_docs_per_lang": _ft.topk_docs_per_lang,
+        # dedup suite
+        "dedup_exact": _dd.dedup_exact,
+        "minhash_signatures": _dd.minhash_signatures,
+        "minhash_lsh_pairs": _dd.minhash_lsh_pairs,   # rows-only (approx)
+        "simhash": _dd.simhash,
+        "simhash_pairs": _dd.simhash_pairs,
+        "jaccard_vs_seed": _dd.jaccard_vs_seed,
+        # enrichment (EntityExtractor / PatternRemover analogs)
+        "extract_entities": _en.extract_entities,
+        "pattern_scrub": _en.pattern_scrub,
+        # text analysis
+        "token_count": _ts.token_count,
+        "quality_score": _ts.quality_score,
+        "lang_id": _ts.lang_id,
+        "fingerprint": _ts.fingerprint,
+        # similarity / embeddings
+        "ann_bruteforce_topk": _sim.ann_bruteforce_topk,
+        "ann_lsh_topk": _sim.ann_lsh_topk,            # rows-only (approx)
+        "embedding_near_dup": _sim.embedding_near_dup,  # rows-only (approx)
+        # multimodal plumbing
+        "media_features": _media_features_named,
+        # events / streaming twins
+        "events_hourly": _ev.events_hourly,
+        "user_sessions": _ev.user_sessions,
+        # relational coverage
+        "pricing_summary": _rel.pricing_summary,
+        "revenue_by_nation": _rel.revenue_by_nation,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOK = ("SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents")
+_TOK_NE = f"SELECT * FROM ({_TOK}) WHERE term <> ''"
+_TF = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK_NE}) GROUP BY 1, 2"
+_DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK_NE}) GROUP BY 1"
+_DFREQ = (f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+          f"FROM ({_TF}) GROUP BY 1")
+
+_SHINGLES = """
+SELECT DISTINCT doc_id,
+       term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+       AS shingle
+FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+             generate_subscripts(string_split(text,' '), 1) AS pos
+      FROM documents) t
+WHERE term <> ''
+WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+QUALIFY lead(term, 2) OVER w IS NOT NULL
+"""
+
+
+def _bm25_sql(exclude: tuple[int, ...] = ()) -> str:
+    pairs = []
+    for qid, q in _ft.FULLTEXT_QUERIES:
+        if qid in exclude:
+            continue
+        for term in sorted(set(q.split())):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH tf AS ({_TF}), dl AS ({_DL}), dfreq AS ({_DFREQ}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM dl) AS avg_dl),
+qterms(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avg_dl))), 6)
+         AS score
+  FROM tf
+  JOIN qterms q ON tf.term = q.term
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {_ft.TOPK_K}
+"""
+
+
+def _bm25_indexed_sql() -> str:
+    """Same as bm25 but without query 6 (see _bm25_wand_indexed)."""
+    return _bm25_sql(exclude=(6,))
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"min({sql_md5_long_seeded('shingle', j)}) AS sig_{j}"
+        for j in range(_dd.N_MINHASH))
+    return (f"WITH sh AS ({_SHINGLES}) "
+            f"SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id")
+
+
+def _simhash_sql() -> str:
+    """64-bit simhash as two 32-bit halves — exact twin of dedup.simhash_of
+    (same seeded hashes, same per-bit conditional sums)."""
+    sum_cols = ", ".join(
+        f"sum(CASE WHEN ((h0 >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(32)) + ", " + ", ".join(
+        f"sum(CASE WHEN ((h1 >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s_{32 + j}"
+        for j in range(32))
+    lo = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN s_{32 + j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(32))
+    return f"""
+        WITH tf AS ({_TF}),
+        h AS (SELECT doc_id, tf,
+                     {sql_md5_long_seeded('term', _dd.SIMHASH_SEED_LO)} AS h0,
+                     {sql_md5_long_seeded('term', _dd.SIMHASH_SEED_HI)} AS h1
+              FROM tf),
+        sums AS (SELECT doc_id, {sum_cols} FROM h GROUP BY 1)
+        SELECT doc_id, ({hi})::BIGINT AS simhash_hi,
+               ({lo})::BIGINT AS simhash_lo
+        FROM sums"""
+
+
+def oracle_sql() -> dict[str, str]:
+    en = _ts.LANGID_MARKERS["en"]
+    en_list = ", ".join(f"'{w}'" for w in en)
+    lang_hits = ", ".join(
+        "len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), "
+        f"x -> x IN ({', '.join(chr(39) + w + chr(39) for w in m)})))::INT "
+        f"AS {lg}_hits"
+        for lg, m in _ts.LANGID_MARKERS.items())
+    gl = ", ".join(f"{lg}_hits" for lg in _ts.LANGID_MARKERS)
+    return {
+        "tokenize_tf": _TF,
+        "doc_len": _DL,
+        "term_df": _DFREQ,
+        "corpus_stats": (
+            f"SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+            f"round((SELECT avg(dl) FROM ({_DL})), 6) AS avg_dl"),
+        "bm25_topk": _bm25_sql(),
+        "bm25_wand_indexed": _bm25_indexed_sql(),
+        "topk_docs_per_lang": f"""
+            SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id) AS INT) AS rank,
+                   doc_id, n_chars
+            FROM documents QUALIFY rank <= 10""",
+        "dedup_exact": f"""
+            SELECT {sql_md5_long('text')} AS text_hash,
+                   min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY 1""",
+        "minhash_signatures": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "simhash_pairs": f"""
+            WITH sim AS ({_simhash_sql()}),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     (bit_count(xor(a.simhash_hi, b.simhash_hi))
+                      + bit_count(xor(a.simhash_lo, b.simhash_lo)))::INT
+                     AS hamming
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, hamming FROM pairs
+            WHERE hamming <= {_dd.HAMMING_RADIUS}""",
+        "jaccard_vs_seed": f"""
+            WITH sh AS ({_SHINGLES}),
+            seed AS (SELECT shingle FROM sh
+                     WHERE doc_id = (SELECT min(doc_id) FROM sh)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+            inter AS (SELECT sh.doc_id, count(*)::BIGINT AS n_inter
+                      FROM sh JOIN seed ON sh.shingle = seed.shingle
+                      GROUP BY 1)
+            SELECT sizes.doc_id,
+                   round(coalesce(inter.n_inter, 0)
+                         / (sizes.n_sh + (SELECT count(*) FROM seed)
+                            - coalesce(inter.n_inter, 0)), 6) AS jaccard
+            FROM sizes LEFT JOIN inter ON sizes.doc_id = inter.doc_id""",
+        "extract_entities": f"""
+            WITH tf AS ({_TF}),
+            uni(entity, category) AS (VALUES {", ".join(
+                f"('{e}', '{c}')" for e, c in _en.UNIGRAM_ENTITIES)}),
+            uni_hits AS (
+              SELECT doc_id, entity, category, tf::BIGINT AS n_matches
+              FROM tf JOIN uni ON tf.term = uni.entity),
+            pos AS (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+                           generate_subscripts(string_split(text,' '), 1) AS pos
+                    FROM documents),
+            grams AS (
+              SELECT doc_id, term || ' ' || lead(term) OVER w AS gram
+              FROM pos WHERE term <> ''
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(term) OVER w IS NOT NULL),
+            gcnt AS (SELECT doc_id, gram, count(*)::BIGINT AS n
+                     FROM grams GROUP BY 1, 2),
+            bi(entity, category) AS (VALUES {", ".join(
+                f"('{e}', '{c}')" for e, c in _en.BIGRAM_ENTITIES)}),
+            bi_hits AS (
+              SELECT doc_id, entity, category, n AS n_matches
+              FROM gcnt JOIN bi ON gcnt.gram = bi.entity)
+            SELECT * FROM uni_hits UNION ALL SELECT * FROM bi_hits""",
+        "pattern_scrub": f"""
+            SELECT doc_id,
+                   length(trim(regexp_replace(
+                       regexp_replace(text, '{_en.SCRUB_PATTERN}', '', 'g'),
+                       '\\s+', ' ', 'g')))::INT AS clean_len
+            FROM documents""",
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text,' '), x -> x <> ''))::INT
+                     AS n_tokens,
+                   len(regexp_extract_all(text, '[a-z]+'))::INT
+                     AS n_alpha_tokens,
+                   len(list_distinct(list_filter(string_split(text,' '),
+                                                 x -> x <> '')))::INT
+                     AS n_distinct_tokens
+            FROM documents""",
+        "quality_score": f"""
+            WITH base AS (
+              SELECT doc_id, length(text)::INT AS n_chars_m,
+                     len(list_filter(string_split(text,' '), x -> x <> ''))::INT AS n_tokens,
+                     len(list_filter(string_split(text,' '),
+                                     x -> x IN ({en_list})))::INT AS n_stop,
+                     len(list_distinct(list_filter(string_split(text,' '),
+                                                   x -> x <> '')))::INT AS n_distinct
+              FROM documents)
+            SELECT doc_id, n_chars_m, n_tokens,
+                   round((n_chars_m - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+                   round(n_stop / n_tokens, 6) AS stopword_ratio,
+                   round(n_distinct / n_tokens, 6) AS distinct_ratio,
+                   (CASE WHEN n_tokens >= 10 AND n_stop / n_tokens < 0.5
+                         AND n_distinct / n_tokens > 0.05
+                         THEN 1 ELSE 0 END)::INT AS quality
+            FROM base""",
+        "lang_id": f"""
+            WITH base AS (SELECT doc_id, {lang_hits} FROM documents)
+            SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+                   CASE WHEN en_hits = greatest({gl}) THEN 'en'
+                        WHEN de_hits = greatest({gl}) THEN 'de'
+                        WHEN es_hits = greatest({gl}) THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM base""",
+        "fingerprint": f"""
+            WITH pos AS (SELECT doc_id,
+                                unnest(string_split(text,' ')) AS term,
+                                generate_subscripts(string_split(text,' '), 1) AS pos
+                         FROM documents)
+            SELECT doc_id,
+                   (sum((pos * ({sql_md5_long('term')} % 1000003)) % 2147483647)
+                    % 2147483647)::BIGINT AS fingerprint
+            FROM pos WHERE term <> '' GROUP BY 1""",
+        "ann_bruteforce_topk": f"""
+            WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < {_sim.N_QUERY_VECS}),
+            scored AS (
+              SELECT q.q_vec_id, e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))), 6)
+                     AS cosine
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.q_vec_id)
+            SELECT q_vec_id,
+                   CAST(row_number() OVER (PARTITION BY q_vec_id
+                        ORDER BY cosine DESC, vec_id) AS INT) AS rank,
+                   vec_id, cosine
+            FROM scored QUALIFY rank <= {_sim.TOPK}""",
+        "media_features": """
+            WITH m AS (SELECT doc_id,
+                              CAST('0x' || substring(md5(md5(text)), 1, 15) AS BIGINT)
+                              AS checksum
+                       FROM documents)
+            SELECT doc_id AS media_id,
+                   (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+                   16::INT AS n_bytes, checksum,
+                   (1 + checksum % 64)::INT AS width,
+                   (1 + (checksum // 64) % 64)::INT AS height
+            FROM m""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents
+            FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+            WITH gapped AS (
+              SELECT user_id,
+                     CASE WHEN floor(epoch(ts))::BIGINT
+                               - lag(floor(epoch(ts))::BIGINT) OVER w > 1800 THEN 1
+                          WHEN lag(ts) OVER w IS NULL THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM gapped GROUP BY 1""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                     AS base_price_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+                     AS disc_price_cents,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2""",
+        "revenue_by_nation": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1""",
+        # rows-only (approximate/LSH paths — no exact SQL semantics):
+        # minhash_lsh_pairs, ann_lsh_topk, embedding_near_dup
+    }

@@ -1,0 +1,87 @@
+"""Engine-wide pinned constants and SparkSession construction.
+
+Everything that must agree between the Spark paths, the pure-Python oracle,
+and the DuckDB oracle SQL is pinned HERE, once.
+"""
+
+from __future__ import annotations
+
+import os
+
+# ---------------------------------------------------------------------------
+# BM25 (FIXTURES.md §3; Lucene-style idf)
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# ---------------------------------------------------------------------------
+# Postings block codec (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+BLOCK_SIZE = 128          # docs per postings block
+EXCEPTION_FRACTION = 0.10  # top-10% of deltas may overflow the packed width
+
+# ---------------------------------------------------------------------------
+# Analyzer (SURVEY.md E2)
+# ---------------------------------------------------------------------------
+MAX_TOKEN_LEN = 40        # tokens longer than this are dropped
+
+# ---------------------------------------------------------------------------
+# Skew handling (SURVEY.md E7, §4.3)
+# ---------------------------------------------------------------------------
+HEAD_DF_THRESHOLD = 100_000   # df above this → term is "head", gets salted
+N_SALTS = 16                  # doc-range buckets per head term
+
+# ---------------------------------------------------------------------------
+# Session
+# ---------------------------------------------------------------------------
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "eslib-spark", master: str | None = None,
+              shuffle_partitions: int | None = None, ui: bool = False):
+    """Build the engine's SparkSession.
+
+    local[N] in this sandbox; on a real cluster the same config ships via
+    ``spark-submit --py-files dist/elasticsearch_eslib_spark.zip`` (see
+    Makefile) and ``master`` comes from the submit command line.
+    """
+    from pyspark.sql import SparkSession
+
+    # Executor Python workers unpickle our pandas UDFs by module reference —
+    # the package root must be importable in THEIR interpreter too. On a
+    # cluster this ships via --py-files (Makefile dist target); locally we
+    # export it before the JVM (and its worker daemons) launch.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else ""))
+
+    n = default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{n}]")
+    shuffle_partitions = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local corpora arrive as a handful of big parquet files; the
+        # default 128MB split gives a 2-3-task scan that serializes the
+        # Arrow/Python extract stage. 8MB splits keep the scan as parallel
+        # as the executor count (a real cluster's many-file input makes
+        # this moot — splits are per file anyway)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,270 @@
+"""Index build path E1–E10 (SURVEY.md §2.3) as composable DataFrame stages.
+
+Reference parity: eslib pipelines wired HtmlRemover → (cleanup processors) →
+ElasticsearchWriter and let Elasticsearch build the index (SURVEY.md §2.1).
+Here the index build itself is the engine, expressed Spark-first:
+
+  pages ──E1 extract──E2 analyze──E3 doc_ids──┬── docs table
+                                              └──E4 term_freqs──E5 terms
+  term_freqs ⋈ terms ⋈ docs ──E7 salt+sort──E8/E9 encode blocks──E10 write
+
+Scale notes (the design decisions that matter at 10^12 docs):
+  * extract+analyze run in ONE mapInPandas pass over pages — a single
+    JVM↔Python Arrow crossing, html column pruned immediately after.
+  * term frequencies: explode + groupBy(doc_id, term) — all tokens of a doc
+    live in one row/partition, so Spark's partial aggregation collapses to
+    per-doc tf maps BEFORE the shuffle; the shuffle then moves exactly the
+    (doc, term, tf) tuples the index needs anyway.
+  * Zipfian head terms (df > HEAD_DF_THRESHOLD) are salted by DOC-ID RANGE,
+    not randomly (SURVEY.md §4.3): per-salt runs are doc-disjoint and
+    ordered, so the "external merge" of a head term's runs is pure
+    concatenation — no single-task k-way merge anywhere. Block ids are then
+    a window over the (128×-smaller) block rows ordered by first_doc.
+  * doc_len is bit-packed into each block (`dls`) like Lucene norms, so
+    query-time scoring and WAND are block-local — no join against a
+    10^12-row docs table per query.
+  * S4 shuffle width (measured profile note): the big shuffle carries dl
+    per POSTING (it repeats per doc df times) because the encoder needs it
+    block-locally. The alternative — shuffling (term_id, doc_id, tf) and
+    rejoining dl per range at encode time — saves ~4 bytes/posting but
+    adds a second shuffle of the postings stream; at lz4-compressed
+    shuffle sizes the repeat compresses well, so the single-shuffle layout
+    wins. Revisit only if shuffle volume, not CPU, binds on the target
+    cluster.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from elasticsearch_eslib_spark import schemas
+from elasticsearch_eslib_spark.config import (
+    BM25_B, BM25_K1, HEAD_DF_THRESHOLD, N_SALTS,
+)
+from elasticsearch_eslib_spark.functions.analyze import analyze_text
+from elasticsearch_eslib_spark.functions.codec import encode_posting_blocks
+from elasticsearch_eslib_spark.functions.extract import extract_text
+from elasticsearch_eslib_spark.operators.ids import assign_dense_ids
+
+TOKENIZED_SCHEMA = ("url string, lang string, doc_len int, "
+                    "terms array<string>, tfs array<int>")
+
+# S4 encode-shuffle sizing: one task per this many corpus tokens (see
+# build_postings). ~8M tokens ≈ 5-6M tf rows ≈ 150-200 MB in-sort — fits
+# executor memory with headroom; measured on this box: per-doc build cost
+# rose 26% when tasks grew past ~13M rows (spill), flat below.
+TOKENS_PER_ENCODE_TASK = 8_000_000
+
+
+def extract_analyze_tf(pages: DataFrame) -> DataFrame:
+    """E1+E2+E4(map side): pages → (url, lang, doc_len, terms[], tfs[]).
+
+    One Arrow pass does extract → analyze → per-doc term counting. The tf
+    map leaves Python PACKED as parallel arrays — one output row per
+    document, ~100× fewer rows than an exploded layout, so the committed
+    tokenized table (and every downstream scan/join of it) moves ~100×
+    fewer rows; downstream stages explode in-flight where they need the
+    flat view (term_freqs). Quarantined rows (extraction failure) get
+    doc_len=-1 and empty arrays.
+    """
+
+    def _process(iterator):
+        from collections import Counter
+
+        for pdf in iterator:
+            out = {"url": [], "lang": [], "doc_len": [], "terms": [],
+                   "tfs": []}
+            for url, lang, html in zip(pdf["url"], pdf["lang"], pdf["html"]):
+                text = extract_text(html)
+                if text is None:
+                    dl, terms, tfs = -1, [], []
+                else:
+                    tokens = analyze_text(text, lang)
+                    counts = Counter(tokens)
+                    dl = len(tokens)
+                    terms = list(counts.keys())
+                    tfs = list(counts.values())
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["doc_len"].append(dl)
+                out["terms"].append(terms)
+                out["tfs"].append(tfs)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "lang", "html").mapInPandas(
+        _process, schema=TOKENIZED_SCHEMA)
+
+
+def assign_doc_ids(tokenized: DataFrame) -> DataFrame:
+    """E3: dense deterministic doc ids ordered by url →
+    docs = (doc_id, url, lang, doc_len). Empty/rejected docs stay in
+    `docs` (doc_len ≤ 0 → no postings) so doc numbering is stable.
+    """
+    doc_meta = tokenized.select(
+        "url", "lang", "doc_len",
+        # piggy-backed stats: Σ indexable doc_len + indexable-doc count
+        # (rejects carry doc_len=-1 → excluded from both) — corpus_stats
+        # comes free with the id-counting pass, no extra job
+        F.greatest(F.col("doc_len"), F.lit(0)).alias("__dl_pos"),
+        F.when(F.col("doc_len") >= 0, 1).otherwise(0).alias("__ok"))
+    with_ids = assign_dense_ids(doc_meta, "url", "doc_id",
+                                sum_cols=["__dl_pos", "__ok"])
+    docs = with_ids.select(
+        "doc_id", "url", "lang", F.col("doc_len").cast("int").alias("doc_len"))
+    # propagate the unpersist handle and the free count/sums
+    docs._dense_ids_cache = with_ids._dense_ids_cache  # noqa: SLF001
+    docs._dense_ids_total = with_ids._dense_ids_total  # noqa: SLF001
+    docs._dense_ids_sums = with_ids._dense_ids_sums  # noqa: SLF001
+    return docs
+
+
+def term_freqs(tokenized: DataFrame, docs: DataFrame) -> DataFrame:
+    """E4: (doc_id, term, tf) — doc ids attached to the PACKED rows (a
+    doc-count-sized join, broadcast-able), then exploded in-flight; the
+    ~100×-larger flat tf stream never exists on disk or in a join build
+    side."""
+    packed = (tokenized.where(F.col("doc_len") > 0)
+              .join(docs.select("url", "doc_id"), "url")
+              .select("doc_id", F.arrays_zip("terms", "tfs").alias("tt")))
+    return (packed.select("doc_id", F.explode("tt").alias("e"))
+            .select("doc_id", F.col("e.terms").alias("term"),
+                    F.col("e.tfs").cast("int").alias("tf")))
+
+
+def build_terms(tf: DataFrame) -> DataFrame:
+    """E5: vocabulary with document/collection frequencies + dense term ids."""
+    vocab = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"))
+    return assign_dense_ids(vocab, "term", "term_id").select(
+        "term_id", "term", "df", "cf")
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """E6: (n_docs, avg_dl) over indexable docs (doc_len > 0 docs included;
+    empty docs count toward N with dl=0 — pinned, mirrored in oracle)."""
+    return docs.where(F.col("doc_len") >= 0).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avg_dl"))
+
+
+def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
+                   n_docs: int, avg_dl: float,
+                   num_partitions: int | None = None,
+                   head_df_threshold: int = HEAD_DF_THRESHOLD,
+                   n_salts: int = N_SALTS) -> DataFrame:
+    """E7+E8+E9: salted sorted runs → packed block rows with block-max.
+
+    Output matches schemas.POSTINGS. Head terms are range-salted on doc_id
+    so no task ever holds more than ~df_max/n_salts postings; block ids come
+    from a window over block rows (cheap: 128× fewer rows than postings).
+    """
+    spark = tf.sparkSession
+    if num_partitions is None:
+        # size the encode shuffle by DATA VOLUME, not core count: Σ doc_len
+        # (= n_docs · avg_dl, already known from S2) upper-bounds the tf
+        # rows; one task per ~TOKENS_PER_ENCODE_TASK keeps every
+        # sortWithinPartitions in memory (no spill) and the Python encode
+        # batches bounded — at any corpus size or executor count. The core
+        # count is only a floor so small corpora still use the machine.
+        n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        est_tokens = max(1, int(n_docs * avg_dl))
+        num_partitions = max(
+            n_conf, (est_tokens + TOKENS_PER_ENCODE_TASK - 1)
+            // TOKENS_PER_ENCODE_TASK)
+    n_part = num_partitions
+    salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
+
+    # the big shuffle carries only (term_id, doc_id, tf, dl, salt) — idf is
+    # applied to the 128×-smaller block rows afterwards, and df exists here
+    # only transiently to derive the salt
+    enriched = (
+        tf.join(terms.select("term", "term_id", "df"), "term")
+          .join(docs.select("doc_id", "doc_len"), "doc_id")
+          .select(
+              "term_id", "doc_id",
+              F.col("tf").cast("int").alias("tf"),
+              F.col("doc_len").cast("int").alias("dl"),
+              F.when(F.col("df") > head_df_threshold,
+                     (F.col("doc_id") / salt_width).cast("int"))
+               .otherwise(F.lit(0)).alias("salt"))
+    )
+    arranged = (enriched
+                .repartition(n_part, "term_id", "salt")
+                .sortWithinPartitions("term_id", "salt", "doc_id"))
+
+    import math as _math
+    k1, b = BM25_K1, BM25_B
+
+    block_schema = ("term_id long, first_doc long, last_doc long, "
+                    "n_docs int, block_max_tf int, block_max_score double, "
+                    "doc_deltas binary, tfs binary, dls binary")
+
+    from elasticsearch_eslib_spark.config import BLOCK_SIZE as _BS
+
+    def _encode_groups(iterator):
+        """Vectorized group carving: numpy change-point slicing per Arrow
+        batch; a group open at a batch boundary is buffered and concatenated
+        (bounded by the per-salt run size — that is what the salting caps)."""
+        import numpy as np
+
+        out: list[dict] = []
+
+        def flush(term_id, docs_a, tfs_a, dls_a):
+            # idf-free score: multiplied by the term's idf afterwards on
+            # the 128×-smaller block rows (keeps df out of the big shuffle)
+            scores = (tfs_a * (k1 + 1.0)) / (
+                tfs_a + k1 * (1.0 - b + b * dls_a / avg_dl))
+            for blk_i, blk in enumerate(
+                    encode_posting_blocks(docs_a, tfs_a, dls_a)):
+                lo = blk_i * _BS
+                blk["block_max_score"] = float(scores[lo:lo + blk["n_docs"]].max())
+                blk["term_id"] = term_id
+                out.append(blk)
+
+        cur = None  # (key, [doc chunks], [tf chunks], [dl chunks])
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            t = pdf["term_id"].to_numpy(dtype=np.int64)
+            s = pdf["salt"].to_numpy(dtype=np.int64)
+            d = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tf_a = pdf["tf"].to_numpy(dtype=np.int64)
+            dl_a = pdf["dl"].to_numpy(dtype=np.int64)
+            change = np.nonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(t)]))
+            for st, en in zip(starts, ends):
+                key = (int(t[st]), int(s[st]))
+                if cur is not None and cur[0] == key:
+                    cur[1].append(d[st:en])
+                    cur[2].append(tf_a[st:en])
+                    cur[3].append(dl_a[st:en])
+                else:
+                    if cur is not None:
+                        flush(cur[0][0], np.concatenate(cur[1]),
+                              np.concatenate(cur[2]), np.concatenate(cur[3]))
+                    cur = (key, [d[st:en]], [tf_a[st:en]], [dl_a[st:en]])
+            if len(out) > 2000:
+                yield pd.DataFrame(out)
+                out = []
+        if cur is not None:
+            flush(cur[0][0], np.concatenate(cur[1]),
+                  np.concatenate(cur[2]), np.concatenate(cur[3]))
+        if out:
+            yield pd.DataFrame(out)
+
+    blocks = arranged.mapInPandas(_encode_groups, schema=block_schema)
+    w = Window.partitionBy("term_id").orderBy("first_doc")
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    # (1 + 1e-12): block_max_score is a WAND skipping bound and must stay an
+    # upper bound even if the JVM's ln() differs from the query path's libm
+    # ln() in the last ulp
+    return (blocks
+            .join(terms.select("term_id", "df"), "term_id")
+            .withColumn("block_max_score",
+                        F.col("block_max_score") * idf * (1.0 + 1e-12))
+            .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
+            .select([f.name for f in schemas.POSTINGS.fields]))

@@ -1,0 +1,138 @@
+"""Relational fulltext operators over the driver `documents` table.
+
+The driver's testdata `documents` table (doc_id, text, lang, source,
+n_chars) has pre-tokenized lowercase space-separated text (TESTDATA.md /
+FIXTURES.md §4), so these operators pin WHITESPACE tokenization — the full
+analyzer chain (E1/E2) is exercised on the synthetic `pages` fixture
+instead (tests/). Every function here has an exact ANSI-SQL twin in
+__spark_entry__.oracle_sql() (DuckDB): same column names, same rounding,
+same tie-breaks.
+
+BM25 constants and formula identical to the index engine (config.py,
+oracle.py). Rank tie-break pinned as (round(score,6) desc, doc_id asc) —
+rounding BEFORE ordering so Spark's and DuckDB's last-bit float summation
+differences can't flip ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from elasticsearch_eslib_spark.config import BM25_B, BM25_K1
+
+# Pinned query set over the documents vocabulary (~31 terms at every sf).
+FULLTEXT_QUERIES: list[tuple[int, str]] = [
+    (0, "join"),                            # head term
+    (1, "dup"),                             # tail term
+    (2, "join dup"),                        # head+tail
+    (3, "spark query slow"),                # 3 terms
+    (4, "customer filter merge vector"),    # 4 terms
+    (5, "zzzmissing"),                      # absent term → empty
+    (6, "the a"),                           # very-high-df terms
+    (7, "join join"),                       # duplicate term (counts once)
+]
+TOPK_K = 10
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term): whitespace tokens, empties dropped."""
+    return (load_documents(spark, sf_dir)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != ""))
+
+
+def tokenize_tf_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) over any documents-shaped frame."""
+    return (docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 analog: (doc_id, term, tf)."""
+    return (tokens(spark, sf_dir)
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def doc_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 analog: (doc_id, dl)."""
+    return (tokens(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("dl")))
+
+
+def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 analog: (term, df, cf)."""
+    return (tokenize_tf(spark, sf_dir)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, avg_dl) — n_docs counts ALL documents rows; avg_dl is over
+    docs with ≥1 token (identical here: no empty texts in the testdata)."""
+    n_docs = load_documents(spark, sf_dir).select(
+        F.count("*").alias("n_docs"))
+    avg = doc_len(spark, sf_dir).select(
+        F.round(F.avg("dl"), 6).alias("avg_dl"))
+    return n_docs.crossJoin(avg)
+
+
+def _query_terms_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for qid, q in FULLTEXT_QUERIES:
+        for term in sorted(set(q.split())):
+            rows.append((qid, term))
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unranked BM25 scores per (query_id, doc_id) for the pinned query set."""
+    tf = tokenize_tf(spark, sf_dir)
+    dl = doc_len(spark, sf_dir)
+    dfreq = term_df(spark, sf_dir)
+    n_docs = load_documents(spark, sf_dir).count()
+    avg_dl = dl.agg(F.avg("dl")).collect()[0][0]
+    q = _query_terms_df(spark)
+    scored = (tf.join(F.broadcast(q), "term")
+              .join(F.broadcast(dfreq.join(q.select("term").distinct(), "term")),
+                    "term")
+              .join(dl, "doc_id")
+              .withColumn("idf", F.log(
+                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("part", F.col("idf")
+                          * F.col("tf") * (BM25_K1 + 1.0)
+                          / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B
+                             * F.col("dl") / float(avg_dl)))))
+    return (scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("part").alias("score")))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, doc_id, score) top-10, pinned tie-break."""
+    scores = bm25_scores(spark, sf_dir).withColumn(
+        "score", F.round(F.col("score"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOPK_K)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "score"))
+
+
+def topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k exercise: 10 longest docs per lang (n_chars desc)."""
+    docs = load_documents(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (docs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("lang", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "n_chars"))

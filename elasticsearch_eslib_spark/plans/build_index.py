@@ -1,0 +1,210 @@
+"""Index-build pipeline driver (SURVEY.md §3.2 lifecycle 1) with resume.
+
+Stage graph (each stage a committed table + manifest snapshot + lineage):
+
+  S1 tokenized  pages → E1 extract → E2 analyze → per-doc tf
+                bucket-partitioned by hash(url); committed in N_COMMIT
+                groups → PARTITION-LEVEL resume (the expensive stage:
+                HTML parsing; a restart skips every committed bucket).
+  S2 docs+tf    deterministic doc ids (E3 two-pass) → docs, term_freqs
+  S3 terms      vocabulary + dense term ids (E5)
+  S4 postings   salt → sort → encode blocks (E7–E9) → postings (bucketed
+                by term_id % 32 for query-time pruning) + stats
+
+Stage-level resume: a stage whose manifest entry is 'done' for the same
+input fingerprint chain is skipped entirely. This mirrors Iceberg-snapshot
+checkpointing through the TableIO interface (sources/tableio.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_eslib_spark.operators.build import (
+    assign_doc_ids, build_postings, build_terms,
+    extract_analyze_tf, term_freqs,
+)
+from elasticsearch_eslib_spark.operators.ids import unpersist_ids
+from elasticsearch_eslib_spark.operators.query import N_POSTING_BUCKETS
+from elasticsearch_eslib_spark.sources.tableio import (
+    fingerprint_path, open_tableio,
+)
+
+N_INPUT_BUCKETS = 32
+# Commit groups trade resume granularity (buckets per checkpoint commit)
+# against per-job fixed overhead; 2 = 16-bucket commit units.
+N_COMMIT_GROUPS = 2
+
+
+class BuildError(RuntimeError):
+    pass
+
+
+def build_index(spark: SparkSession, pages_path: str, index_dir: str,
+                resume: bool = False,
+                n_buckets: int = N_INPUT_BUCKETS,
+                n_commit_groups: int = N_COMMIT_GROUPS,
+                fail_after_group: int | None = None,
+                fail_before_record: int | None = None) -> dict:
+    """Build the full index; returns metrics. Failure injection (resume
+    tests): `fail_after_group` raises after that S1 group's lineage record;
+    `fail_before_record` raises after the group's parquet write but BEFORE
+    its lineage record — the crash window that must not duplicate rows."""
+    import shutil
+
+    t_start = time.time()
+    if not resume:
+        shutil.rmtree(index_dir, ignore_errors=True)  # cold build
+    io = open_tableio(spark, index_dir)
+
+    fp_input = fingerprint_path(pages_path)
+    metrics: dict = {"input_fingerprint": fp_input}
+
+    # ------------------------------------------------------------- S1
+    s1_fp = fp_input
+    if not io.is_done("tokenized", s1_fp):
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # bucket on the RAW url so each commit group filters BEFORE the
+        # Python extraction (the expensive stage runs exactly once per doc)
+        pages = spark.read.parquet(pages_path).withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+        # a single large input file would serialize the Arrow/Python stage;
+        # spread it per GROUP, after the bucket filter, so each commit
+        # group shuffles only its own slice (on a real cluster the input
+        # arrives as many files and this becomes a no-op)
+        need_spread = pages.rdd.getNumPartitions() < n_part
+        done = io.done_partitions("tokenized", s1_fp) if resume else set()
+        if not done:
+            # nothing committed for THIS input fingerprint — start S1 clean
+            # (stale data + lineage from a different input must not survive)
+            io.reset_stage("tokenized", "tokenized")
+        else:
+            # reclaim disk from crash-window orphans (read() ignores them)
+            io.gc_unregistered("tokenized", "tokenized")
+        groups = [
+            [b for b in range(n_buckets) if b % n_commit_groups == g]
+            for g in range(n_commit_groups)
+        ]
+        t0 = time.time()
+        for g, buckets in enumerate(groups):
+            todo = [b for b in buckets if b not in done]
+            if not todo:
+                continue
+            slice_df = pages.where(F.col("bucket").isin(todo))
+            if need_spread:
+                slice_df = slice_df.repartition(n_part, "url")
+            part = extract_analyze_tf(slice_df).withColumn(
+                "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+            # coalesce the write to ONE file per bucket: extraction ran on
+            # the (many) scan partitions above; without this shuffle every
+            # extraction task writes into every bucket dir → n_part ×
+            # n_buckets tiny files per group, and the 3 downstream scans of
+            # tokenized pay per-file overhead that stops scaling past ~8
+            # cores (measured: S2/S3 stage walls flat from local[8]→[32]).
+            # The shuffle itself moves only the PACKED rows (~0.3 KB/doc).
+            part = part.repartition(len(todo), "bucket")
+            # the group append + its bucket lineage commit atomically inside
+            # the TableIO impl (unique-dir + manifest replace, or a single
+            # Iceberg snapshot); a crash anywhere leaves no visible partial
+            try:
+                io.commit_group("tokenized", "tokenized", part, todo, s1_fp,
+                                partition_by=["bucket"],
+                                crash_before_record=(
+                                    fail_before_record is not None
+                                    and g >= fail_before_record))
+            except Exception as exc:
+                if "injected crash" in str(exc):
+                    raise BuildError(str(exc)) from exc
+                raise
+            if fail_after_group is not None and g >= fail_after_group:
+                raise BuildError(f"injected failure after commit group {g}")
+        io.commit_stage("tokenized", "tokenized", None, s1_fp,
+                        metrics={"wall_ms": int((time.time() - t0) * 1000)})
+    metrics["s1_skipped"] = io.is_done("tokenized", s1_fp)
+
+    tokenized = io.read("tokenized")
+
+    # ------------------------------------------------------------- S2
+    s2_fp = s1_fp + ":" + io.stage_snapshot("tokenized")
+    if not io.is_done("docs_tf", s2_fp):
+        t0 = time.time()
+        docs = assign_doc_ids(tokenized)
+        io.write_table("docs", docs)
+        sums = docs._dense_ids_sums  # noqa: SLF001 — free from pass 1
+        n_docs = int(sums["__ok"])   # indexable docs (rejects excluded)
+        avg_dl = (sums["__dl_pos"] / n_docs) if n_docs else 0.0
+        unpersist_ids(docs)
+        io.commit_stage("docs_tf", "docs", None, s2_fp,
+                        metrics={"n_docs": n_docs, "avg_dl": avg_dl,
+                                 "wall_ms": int((time.time() - t0) * 1000)})
+    docs = io.read("docs")
+    # term freqs stay a VIEW over (tokenized ⋈ docs) — materializing the
+    # 100×-docs-sized tf stream as its own table doubled the build's IO for
+    # no resume value (S4 is the only consumer and is itself a checkpoint)
+    tf = term_freqs(tokenized, docs)
+
+    # ------------------------------------------------------------- S3
+    s3_fp = s2_fp + ":" + io.stage_snapshot("docs_tf")
+    if not io.is_done("terms", s3_fp):
+        t0 = time.time()
+        terms = build_terms(tf)
+        io.write_table("terms", terms)
+        unpersist_ids(terms)
+        io.commit_stage("terms", "terms", None, s3_fp,
+                        metrics={"wall_ms": int((time.time() - t0) * 1000)})
+    terms = io.read("terms")
+
+    # ------------------------------------------------------------- S4
+    s4_fp = s3_fp + ":" + io.stage_snapshot("terms")
+    if not io.is_done("postings", s4_fp):
+        t0 = time.time()
+        s2_metrics = io.stage_metrics("docs_tf")
+        n_docs = int(s2_metrics["n_docs"])
+        avg_dl = float(s2_metrics["avg_dl"])
+        postings = build_postings(tf, terms, docs, n_docs, avg_dl)
+        # one file per p_bucket dir (instead of one per encode-task per
+        # bucket): queries prune to whole buckets, so fewer/larger files
+        # cut open/footer overhead on the serve path; the extra shuffle
+        # moves only the encoded block rows (128× smaller than postings)
+        io.write_table(
+            "postings",
+            postings.withColumn(
+                "p_bucket",
+                F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
+            .repartition(N_POSTING_BUCKETS, "p_bucket"),
+            partition_by=["p_bucket"])
+        # stats carries the snapshot id it belongs to (schemas.STATS)
+        import datetime as _dt
+        import uuid as _uuid2
+
+        snapshot = _uuid2.uuid4().hex[:26]
+        io.write_table("stats", spark.createDataFrame(
+            [(n_docs, avg_dl, _dt.datetime.now(_dt.timezone.utc), snapshot)],
+            "n_docs long, avg_dl double, built_at timestamp, snapshot string"))
+        io.commit_stage("postings", "postings", None, s4_fp,
+                        snapshot=snapshot,
+                        metrics={"n_docs": n_docs, "avg_dl": avg_dl,
+                                 "wall_ms": int((time.time() - t0) * 1000)})
+
+    stats = io.read("stats").collect()[0]
+    metrics["n_docs"] = int(stats["n_docs"])
+    metrics["avg_dl"] = float(stats["avg_dl"])
+    metrics["wall_sec"] = time.time() - t_start
+    metrics["docs_per_sec"] = metrics["n_docs"] / metrics["wall_sec"]
+    return metrics
+
+
+class Index:
+    """Loaded index handle for the query path."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        io = open_tableio(spark, index_dir)
+        self.docs = io.read("docs")
+        self.terms = io.read("terms")
+        self.postings = io.read("postings")
+        row = io.read("stats").collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avg_dl = float(row["avg_dl"])
+        self.io = io

@@ -1,0 +1,152 @@
+"""Structured-Streaming analogs of the reference's unbounded sources.
+
+eslib's Monitor processors (TwitterMonitor, RabbitmqMonitor, HttpMonitor,
+Timer — SURVEY.md §2.1 rows 11–17) push documents endlessly with no
+event-time semantics. The Spark-first re-expression upgrades them to
+Structured Streaming with watermarks + windows:
+
+  * `timer_stream`         — Timer analog: rate source ticks.
+  * `stream_events_hourly` — windowed count/sum with a watermark (late
+    data handled — capability the reference never had).
+  * `stream_pages_ingest`  — file-source ingest of pages parquet into the
+    corpus table via an EPOCH-IDEMPOTENT foreachBatch sink.
+  * `kafka_shaped_stream` / `stream_kafka_pages_ingest` — the Kafka-wire
+    ingest analog (RabbitmqMonitor's modern replacement): records arrive
+    with the Kafka record shape (key/value/topic/partition/offset/
+    timestamp), values carry JSON-encoded pages (html base64), and land
+    through the same idempotent sink. The sandbox has no Kafka broker or
+    spark-sql-kafka jar, so the stream is driven by a file source with the
+    IDENTICAL schema — swapping in `readStream.format("kafka")` changes
+    only the source line.
+
+Exactly-once semantics: foreachBatch gives at-least-once delivery of each
+epoch, so the SINK must be idempotent — each epoch (over)writes its own
+`epoch=<id>` directory. A retried epoch replaces its previous partial
+output instead of appending a second copy (a plain parquet append here
+would silently duplicate rows after a mid-epoch failure). Deduplication
+within an epoch is on url; cross-epoch url dedup is a read-time concern
+(dedup_exact) because an idempotent sink must not read its own table.
+
+Batch twins (DuckDB-checkable) live in operators/events.py; tests drive
+these with the memory sink + processAllAvailable (synchronous, hermetic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+KAFKA_WIRE_SCHEMA = ("key binary, value binary, topic string, "
+                     "partition int, offset long, timestamp timestamp")
+
+
+def timer_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Timer/heartbeat analog (eslib Timer → readStream rate source)."""
+    return (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load()
+            .select(F.col("timestamp").alias("tick_ts"),
+                    F.col("value").alias("tick")))
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_hourly with a 2h watermark."""
+    import tempfile
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source wants a DIRECTORY; the testdata table is a
+    # single parquet file → stage a symlink dir (canonical deployments
+    # stream from an ingest directory anyway)
+    stage = os.path.join(tempfile.gettempdir(),
+                         f"eslib_stream_events_{abs(hash(sf_dir))}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    ev = (spark.readStream.schema(batch_schema).parquet(stage)
+          # parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return (ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").getField("start")
+                     .alias("window_start"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("total_cents")))
+
+
+def epoch_idempotent_sink(out_dir: str):
+    """foreachBatch sink writing each epoch to its own epoch=<id> directory
+    with overwrite — a retried epoch replaces its own output, so the table
+    never holds two copies of one epoch no matter how often the epoch is
+    re-delivered. The epoch directory name is partition-style, so a plain
+    `spark.read.parquet(out_dir)` reads the table (with an `epoch`
+    partition column)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.dropDuplicates(["url"])
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"epoch={epoch_id}")))
+
+    return _sink
+
+
+def stream_pages_ingest(spark: SparkSession, pages_glob: str,
+                        out_dir: str, checkpoint_dir: str):
+    """File-stream pages → epoch-idempotent corpus-table ingest."""
+    from elasticsearch_eslib_spark import schemas
+
+    pages = (spark.readStream.schema(schemas.PAGES).parquet(pages_glob))
+    return (pages.writeStream.foreachBatch(epoch_idempotent_sink(out_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def pages_to_kafka_records(pages: DataFrame, topic: str = "pages") -> DataFrame:
+    """Encode pages rows in the Kafka record wire shape (the producer side
+    of the analog; used to stage test/demo record streams)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("topic_part").orderBy("key")  # key = url bytes
+    return (pages.select(
+        F.encode("url", "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct(
+            "url", "warc_ts",
+            F.base64("html").alias("html_b64"),
+            "text", "lang")), "utf-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("topic_part"),
+        F.col("warc_ts").alias("timestamp"))
+        .withColumn("offset", F.row_number().over(w).cast("long"))
+        .select("key", "value", "topic",
+                F.col("topic_part").alias("partition"), "offset", "timestamp"))
+
+
+def kafka_shaped_stream(spark: SparkSession, records_dir: str) -> DataFrame:
+    """Unbounded stream of Kafka-wire records. File-source driven here (no
+    broker in the sandbox); in a Kafka deployment replace with
+    `spark.readStream.format("kafka").option("subscribe", topic).load()` —
+    the downstream schema is identical by construction."""
+    return spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(records_dir)
+
+
+def parse_pages_records(records: DataFrame) -> DataFrame:
+    """Kafka-wire records → pages rows (schemas.PAGES shape)."""
+    payload = F.from_json(
+        F.decode("value", "utf-8"),
+        "url string, warc_ts timestamp, html_b64 string, "
+        "text string, lang string")
+    return (records.select(payload.alias("p"))
+            .select(F.col("p.url").alias("url"),
+                    F.col("p.warc_ts").alias("warc_ts"),
+                    F.unbase64(F.col("p.html_b64")).alias("html"),
+                    F.col("p.text").alias("text"),
+                    F.col("p.lang").alias("lang")))
+
+
+def stream_kafka_pages_ingest(spark: SparkSession, records_dir: str,
+                              out_dir: str, checkpoint_dir: str):
+    """Kafka-shaped records → parse → the same epoch-idempotent sink."""
+    pages = parse_pages_records(kafka_shaped_stream(spark, records_dir))
+    return (pages.writeStream.foreachBatch(epoch_idempotent_sink(out_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -1,0 +1,107 @@
+"""Structured-Streaming analogs (SURVEY.md §2.1 rows 11–17): streaming
+windowed agg == batch twin; file-stream pages ingest lands in the corpus
+table exactly once."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_events_hourly_equals_batch(spark):
+    from elasticsearch_eslib_spark.operators.events import events_hourly
+    from elasticsearch_eslib_spark.streaming.ingest import stream_events_hourly
+
+    agg = stream_events_hourly(spark, SF)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("ev_hourly").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["window_start"], r["event_type"]): (r["n"], r["total_cents"])
+               for r in spark.sql("SELECT * FROM ev_hourly").collect()}
+    finally:
+        q.stop()
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["total_cents"])
+            for r in events_hourly(spark, SF).collect()}
+    assert got == want
+
+
+def test_stream_pages_ingest_exactly_once(spark, pages_parquet, tmp_path):
+    from elasticsearch_eslib_spark.streaming.ingest import stream_pages_ingest
+
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    writer = stream_pages_ingest(
+        spark, os.path.dirname(pages_parquet), out_dir, ckpt)
+    q = writer.start()
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 1000
+    assert got.select("url").distinct().count() == 1000
+    # restart with the same checkpoint: no new data → no duplicates
+    q2 = stream_pages_ingest(
+        spark, os.path.dirname(pages_parquet), out_dir, ckpt).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 1000
+
+
+def test_timer_stream_shape(spark):
+    from elasticsearch_eslib_spark.streaming.ingest import timer_stream
+
+    df = timer_stream(spark)
+    assert df.isStreaming
+    assert set(df.columns) == {"tick_ts", "tick"}
+
+
+def test_epoch_sink_idempotent_on_retry(spark, pages_parquet, tmp_path):
+    """Re-delivering the SAME epoch (foreachBatch's at-least-once contract
+    after a mid-epoch failure) must not duplicate rows — the flaw in a
+    plain parquet append sink."""
+    from elasticsearch_eslib_spark.streaming.ingest import (
+        epoch_idempotent_sink,
+    )
+
+    out = str(tmp_path / "retry_out")
+    batch = spark.read.parquet(pages_parquet).limit(200)
+    sink = epoch_idempotent_sink(out)
+    sink(batch, 0)
+    sink(batch, 0)          # the retry
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("url").distinct().count() == 200
+    sink(batch.limit(50), 1)  # a later epoch still appends normally
+    assert spark.read.parquet(out).count() == 250
+
+
+def test_kafka_shaped_ingest_roundtrip(spark, pages_parquet, tmp_path):
+    """pages → Kafka-wire records → streaming ingest → corpus table equals
+    the original pages byte-for-byte (url/text/lang/html)."""
+    from elasticsearch_eslib_spark.streaming.ingest import (
+        pages_to_kafka_records, stream_kafka_pages_ingest,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    records_dir = str(tmp_path / "records")
+    pages_to_kafka_records(pages).write.parquet(records_dir)
+    # wire sanity: offsets dense per partition, key == url bytes
+    rec = spark.read.parquet(records_dir)
+    assert rec.count() == 1000
+    per_part = rec.groupBy("partition", "offset").count()
+    assert per_part.where(F.col("count") > 1).count() == 0
+
+    out = str(tmp_path / "kafka_out")
+    ckpt = str(tmp_path / "kafka_ckpt")
+    q = stream_kafka_pages_ingest(spark, records_dir, out, ckpt).start()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    orig = {(r["url"], r["text"], r["lang"], bytes(r["html"]))
+            for r in pages.collect()}
+    back = {(r["url"], r["text"], r["lang"], bytes(r["html"]))
+            for r in got.collect()}
+    assert back == orig
+    # restart on the same checkpoint: no new records → no change
+    q2 = stream_kafka_pages_ingest(spark, records_dir, out, ckpt).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 1000
