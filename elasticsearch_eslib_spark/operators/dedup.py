@@ -11,24 +11,25 @@ Scale notes:
   * exact dedup — one hash-shuffle on a 60-bit content hash; at 10^12 docs
     the groupBy key is uniform (no skew), and the map-side partial agg
     collapses singletons before the shuffle.
-  * minhash — signatures are per-doc aggregations (shuffle by doc_id only);
-    LSH banding turns all-pairs O(n²) into a groupBy on (band, band_hash)
-    buckets (size-capped); verification packs each candidate doc's shingles
-    into one array row — cost O(#candidates · doc_size), never a shingle
-    self-join.
+  * minhash — signatures AND packed shingle arrays ride ONE groupBy over
+    the shingle table (the corpus is shingled exactly once); LSH banding
+    turns all-pairs O(n²) into a groupBy on (band, band_hash) buckets —
+    buckets above the cap degrade to star links (never dropped, never
+    quadratic); verification is a JVM-side array_intersect per candidate
+    pair — cost O(#candidates · doc_size), never a shingle self-join.
   * simhash — 64-bit, computed as 64 conditional sums in one groupBy (no
     row explosion); near-dup pairs via the pigeonhole band trick (4 × 16-bit
-    bands find every hamming ≤ 3 pair exactly).
+    bands find every hamming ≤ 3 pair exactly); band buckets above the cap
+    recurse onto 12-bit sub-bands of the remaining 48 bits (multi-index
+    hashing) so no join side ever goes quadratic while exactness holds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_eslib_spark.functions.hashing import md5_long, md5_long_seeded
-from elasticsearch_eslib_spark.operators.fulltext import (
-    load_documents, tokenize_tf,
-)
+from elasticsearch_eslib_spark.operators.fulltext import load_documents
 
 N_MINHASH = 8          # minhash permutations (seeded md5 variants)
 LSH_BANDS = 4          # 4 bands × 2 rows
@@ -39,10 +40,18 @@ SIMHASH_BITS = 64      # two 32-bit halves (simhash_hi / simhash_lo) — both
 SIMHASH_SEED_LO = 101  # seeded md5 supplying bits 0..31
 SIMHASH_SEED_HI = 202  # seeded md5 supplying bits 32..63
 HAMMING_RADIUS = 3     # simhash_pairs: exact near-dup pairs at hamming ≤ 3
-MAX_LSH_BUCKET = 1000  # LSH buckets larger than this are skipped: a band
-                       # shared by >1000 docs is boilerplate/exact-dup-class
-                       # content (exact dedup's job); the cap bounds pair
-                       # generation at O(buckets · cap²) instead of O(n²)
+MAX_LSH_BUCKET = 1000  # LSH buckets larger than this degrade to STAR
+                       # linking (each member paired with the bucket's min
+                       # doc_id): pair generation stays O(buckets · cap² +
+                       # oversized · m) instead of O(n²), and a >cap cluster
+                       # of near-identical docs is still LINKED (never
+                       # silently dropped — a templated-page cluster with
+                       # jaccard ~0.9 must not vanish from the result)
+MAX_SIMHASH_BUCKET = 1000  # simhash_pairs: 16-bit-band buckets larger than
+                           # this recurse onto 12-bit sub-bands of the
+                           # remaining 48 bits (multi-index hashing) —
+                           # bounds the within-bucket self-join WITHOUT
+                           # losing exactness (see simhash_pairs_of)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,36 +111,64 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _lsh_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): one row per doc per band — a single explode
+    pass (a 4-way union would recompute the signature aggregation per
+    branch)."""
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"sig_{b * LSH_ROWS + r}")
+                              for r in range(LSH_ROWS)]).alias("bucket"))
+        for b in range(LSH_BANDS)])
+    return (sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def lsh_oversized_buckets(sigs: DataFrame,
+                          max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
+    """Observability for the degradation path: (band, bucket, n, min_doc)
+    for every band bucket above `max_bucket` — the buckets whose pairing is
+    star-linked instead of all-pairs. A pipeline monitors this (count > 0
+    means near-dup clusters bigger than the cap exist; their members stay
+    linked but intra-cluster pairs beyond the star are not enumerated)."""
+    return (_lsh_banded(sigs).groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+            .where(F.col("n") > max_bucket))
+
+
 def lsh_candidate_pairs(sigs: DataFrame,
                         max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """(doc_a, doc_b) distinct LSH candidates from a minhash signature df.
 
     Banding: N_MINHASH sigs → LSH_BANDS bands of LSH_ROWS; docs sharing any
     band bucket become candidates (grouped join — never all-pairs). Buckets
-    with more than `max_bucket` members are dropped BEFORE pairing: a band
-    value shared by that many docs means exact-dup-class boilerplate
-    (dedup_exact's job) and would otherwise cost cap-free O(m²) pairs.
+    with more than `max_bucket` members DEGRADE to star linking — every
+    member is paired with the bucket's min doc_id, so a >cap cluster of
+    templated near-identical pages is still connected at O(m) pairs instead
+    of being silently dropped (the round-2 behavior) or costing O(m²).
+    Oversized buckets are detected with a groupBy partial-agg count and a
+    broadcast join of only the (tiny) oversized set — no window sort over
+    the banded stream.
     """
-    # one pass: explode (band, bucket) structs instead of a 4-way union
-    # (a union would recompute the signature aggregation per branch)
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.col(f"sig_{b * LSH_ROWS + r}")
-                              for r in range(LSH_ROWS)]).alias("bucket"))
-        for b in range(LSH_BANDS)])
-    banded = (sigs.select("doc_id", F.explode(band_structs).alias("bb"))
-              .select("doc_id", F.col("bb.band").alias("band"),
-                      F.col("bb.bucket").alias("bucket")))
-    wcnt = Window.partitionBy("band", "bucket")
-    banded = (banded.withColumn("__n", F.count("*").over(wcnt))
-              .where(F.col("__n") <= max_bucket).drop("__n"))
-    return (banded.alias("a").join(banded.alias("b"),
+    banded = _lsh_banded(sigs)
+    over = (banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "bucket", "min_doc"))
+    small = banded.join(F.broadcast(over.select("band", "bucket")),
+                        ["band", "bucket"], "left_anti")
+    full = (small.alias("a").join(small.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+                    F.col("b.doc_id").alias("doc_b")))
+    star = (banded.join(F.broadcast(over), ["band", "bucket"])
+            .where(F.col("doc_id") > F.col("min_doc"))
+            .select(F.col("min_doc").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b")))
+    return full.unionByName(star).distinct()
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
@@ -148,36 +185,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     no longer produce m² intermediate rows (it inflates nothing here; it
     only ever lives inside per-doc arrays).
     """
-    sigs = minhash_signatures(spark, sf_dir)
-    # the candidate table is small (LSH-bounded) but its lineage holds the
-    # full shingle+signature pipeline; it is consumed TWICE below (pair join
-    # + candidate-doc semi-join) — persist so the corpus is signed once
-    cand = lsh_candidate_pairs(sigs).persist()
+    # ONE pass over the shingle table: the min-aggs (signatures) and the
+    # packed shingle array ride the SAME groupBy shuffle — the corpus is
+    # shingled exactly once (round 2 shingled it twice: signatures + a
+    # re-shingle of the candidate docs). collect_list adds the shingle
+    # strings as shuffle payload, but that stream had to be shuffled by
+    # doc_id for the min-aggs anyway.
+    sh = shingles(spark, sf_dir)
+    aggs = [F.min(md5_long_seeded(F.col("shingle"), j)).alias(f"sig_{j}")
+            for j in range(N_MINHASH)]
+    packed = (sh.groupBy("doc_id")
+              .agg(*aggs, F.collect_list("shingle").alias("shs"),
+                   F.count("*").alias("n_sh"))
+              .persist())
+    cand = lsh_candidate_pairs(
+        packed.select("doc_id", *[f"sig_{j}" for j in range(N_MINHASH)]))
+    # candidate docs ≪ corpus: semi-join the cached packed table down before
+    # the (array-payload) pair joins so only candidates carry their arrays
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .union(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    # semi-join BEFORE shingling: only candidate docs (≪ corpus) are ever
-    # re-shingled for verification — the full-corpus shingle pass happens
-    # exactly once (inside the signature aggregation). spread() runs on the
-    # raw scan (pre-join) — see its AQE warning.
-    docs = (spread(load_documents(spark, sf_dir))
-            .join(cand_docs, "doc_id", "left_semi"))
-    packed = (shingles_of(docs, do_spread=False)
-              .groupBy("doc_id")
-              .agg(F.collect_list("shingle").alias("shs"),
-                   F.count("*").alias("n_sh")))
-    pa = packed.select(F.col("doc_id").alias("doc_a"),
-                       F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a"))
-    pb = packed.select(F.col("doc_id").alias("doc_b"),
-                       F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b"))
-    return (cand.join(pa, "doc_a").join(pb, "doc_b")
-            .withColumn("n_inter",
-                        F.size(F.array_intersect("shs_a", "shs_b")).cast("long"))
-            .withColumn("jaccard", F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
-            .where(F.col("jaccard") >= jaccard_threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    packed_cand = packed.join(cand_docs, "doc_id", "left_semi")
+    pa = packed_cand.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shs").alias("shs_a"),
+                            F.col("n_sh").alias("n_a"))
+    pb = packed_cand.select(F.col("doc_id").alias("doc_b"),
+                            F.col("shs").alias("shs_b"),
+                            F.col("n_sh").alias("n_b"))
+    out = (cand.join(pa, "doc_a").join(pb, "doc_b")
+           .withColumn("n_inter",
+                       F.size(F.array_intersect("shs_a", "shs_b")).cast("long"))
+           .withColumn("jaccard", F.round(
+               F.col("n_inter")
+               / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+           .where(F.col("jaccard") >= jaccard_threshold)
+           .select("doc_a", "doc_b", "jaccard"))
+    # materialize the (small) result so the corpus-sized cache can be
+    # released NOW — round 2 leaked `cand`/`sig` cached blocks for the
+    # session lifetime (each bench rep re-accumulated executor storage)
+    out = out.localCheckpoint(eager=True)
+    packed.unpersist()
+    return out
 
 
 def simhash_of(tf: DataFrame) -> DataFrame:
@@ -218,8 +266,43 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_of(tokenize_tf_of(spread(load_documents(spark, sf_dir))))
 
 
+# the four disjoint 16-bit bands of the (hi, lo) 64-bit simhash
+_SIMHASH_BAND_EXPRS = (
+    "simhash_lo & 65535",
+    "shiftright(simhash_lo, 16) & 65535",
+    "simhash_hi & 65535",
+    "shiftright(simhash_hi, 16) & 65535",
+)
+
+
+def _simhash_rem48(band_col):
+    """The 48 bits OUTSIDE band `band_col`, packed into one long: the other
+    three 16-bit band values concatenated in band order."""
+    b = [F.expr(e).cast("long") for e in _SIMHASH_BAND_EXPRS]
+    k16, k32 = F.lit(1 << 16), F.lit(1 << 32)
+    return (F.when(band_col == 0, b[1] + b[2] * k16 + b[3] * k32)
+            .when(band_col == 1, b[0] + b[2] * k16 + b[3] * k32)
+            .when(band_col == 2, b[0] + b[1] * k16 + b[3] * k32)
+            .otherwise(b[0] + b[1] * k16 + b[2] * k32))
+
+
+def simhash_oversized_buckets(sig: DataFrame,
+                              max_bucket: int = MAX_SIMHASH_BUCKET
+                              ) -> DataFrame:
+    """(band, v, n) for 16-bit-band buckets above the cap — the buckets the
+    pair operator recurses on (observability + tests)."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.expr(e).alias("v"))
+        for b, e in enumerate(_SIMHASH_BAND_EXPRS)])
+    banded = (sig.select(F.explode(bands).alias("bb"))
+              .select(F.col("bb.band").alias("band"), F.col("bb.v").alias("v")))
+    return (banded.groupBy("band", "v").agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket))
+
+
 def simhash_pairs_of(sig: DataFrame,
-                     radius: int = HAMMING_RADIUS) -> DataFrame:
+                     radius: int = HAMMING_RADIUS,
+                     max_bucket: int = MAX_SIMHASH_BUCKET) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ radius) near-dup pairs — EXACT result via
     the pigeonhole band trick: split the 64-bit simhash into radius+1
     disjoint 16-bit bands; any pair at hamming ≤ radius must agree on at
@@ -227,42 +310,81 @@ def simhash_pairs_of(sig: DataFrame,
     every such pair without an all-pairs join. Candidates are then filtered
     by the exact popcount hamming distance — deterministic, so this has a
     full SQL oracle (DuckDB brute-forces all pairs at test scale and must
-    produce the identical set, proving the banding loses nothing)."""
+    produce the identical set, proving the banding loses nothing).
+
+    Scale bound (multi-index recursion): a 16-bit band has only 65,536
+    values, so at 10^12 docs a popular band value holds ~10^7 docs and the
+    within-bucket join goes quadratic. Buckets above `max_bucket` therefore
+    RECURSE instead of self-joining: within an oversized (band, v) bucket
+    every qualifying pair differs in ≤ radius of the REMAINING 48 bits, so
+    by pigeonhole again it agrees on ≥ 1 of 4 disjoint 12-bit sub-bands of
+    those 48 bits — grouping oversized-bucket members by (band, v,
+    sub_band, sub_value) still finds every pair, with 4096× more bucket
+    values per level. Exactness is preserved (same oracle). Residual worst
+    case: a sub-bucket can itself exceed the cap only when >cap docs share
+    28+ signature bits — and if >cap docs share the FULL 64 bits the output
+    itself is quadratic (every pair qualifies at hamming 0), which no
+    candidate scheme can avoid; recursion depth 1 is the practical bound.
+    """
     assert radius + 1 == 4, "banding below is laid out for 4 × 16-bit bands"
-    # sig is consumed four times (two band sides + two signature lookups);
+    # sig is consumed several times (band sides + two signature lookups);
     # its lineage is the 64-agg pass over the whole corpus — persist it
     sig = sig.persist()
-    bands = F.array(
-        F.struct(F.lit(0).alias("band"),
-                 F.expr("simhash_lo & 65535").alias("v")),
-        F.struct(F.lit(1).alias("band"),
-                 F.expr("shiftright(simhash_lo, 16) & 65535").alias("v")),
-        F.struct(F.lit(2).alias("band"),
-                 F.expr("simhash_hi & 65535").alias("v")),
-        F.struct(F.lit(3).alias("band"),
-                 F.expr("shiftright(simhash_hi, 16) & 65535").alias("v")))
-    banded = (sig.select("doc_id", F.explode(bands).alias("bb"))
-              .select("doc_id", F.col("bb.band").alias("band"),
-                      F.col("bb.v").alias("v")))
-    cand = (banded.alias("a").join(banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.expr(e).alias("v"))
+        for b, e in enumerate(_SIMHASH_BAND_EXPRS)])
+    # banded rows carry hi/lo so the oversized path can re-derive sub-bands
+    banded = (sig.select("doc_id", "simhash_hi", "simhash_lo",
+                         F.explode(bands).alias("bb"))
+              .select("doc_id", "simhash_hi", "simhash_lo",
+                      F.col("bb.band").alias("band"), F.col("bb.v").alias("v")))
+    over = (banded.groupBy("band", "v").agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket).select("band", "v"))
+    # small buckets: plain within-bucket pairing (bounded by the cap)
+    small = (banded.join(F.broadcast(over), ["band", "v"], "left_anti")
+             .select("doc_id", "band", "v"))
+    cand_small = (small.alias("a").join(small.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.v") == F.col("b.v"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b")))
+    # oversized buckets: recurse on 4 × 12-bit sub-bands of the other 48 bits
+    sub_structs = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.shiftright(_simhash_rem48(F.col("band")), 12 * s)
+                 .bitwiseAND(F.lit(4095)).alias("sv"))
+        for s in range(4)])
+    big = (banded.join(F.broadcast(over), ["band", "v"])
+           .select("doc_id", "band", "v", F.explode(sub_structs).alias("ss"))
+           .select("doc_id", "band", "v", F.col("ss.s").alias("s"),
+                   F.col("ss.sv").alias("sv")))
+    cand_big = (big.alias("a").join(big.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.v") == F.col("b.v"))
+                & (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.sv") == F.col("b.sv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b")))
+    cand = cand_small.unionByName(cand_big).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     F.col("simhash_hi").alias("hi_a"),
                     F.col("simhash_lo").alias("lo_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"),
                     F.col("simhash_hi").alias("hi_b"),
                     F.col("simhash_lo").alias("lo_b"))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("hamming",
-                        (F.bit_count(F.expr("hi_a ^ hi_b"))
-                         + F.bit_count(F.expr("lo_a ^ lo_b"))).cast("int"))
-            .where(F.col("hamming") <= radius)
-            .select("doc_a", "doc_b", "hamming"))
+    out = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("hamming",
+                       (F.bit_count(F.expr("hi_a ^ hi_b"))
+                        + F.bit_count(F.expr("lo_a ^ lo_b"))).cast("int"))
+           .where(F.col("hamming") <= radius)
+           .select("doc_a", "doc_b", "hamming"))
+    # materialize (small result) then release the corpus-sized cache —
+    # round 2 leaked it for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

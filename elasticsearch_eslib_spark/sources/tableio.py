@@ -37,16 +37,42 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _utcnow_iso() -> str:
-    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    """Microsecond-precision UTC timestamp. Sub-second precision makes the
+    string ordering of 'updated' deterministic for same-second commits
+    (IcebergTableIO's latest-row-per-stage rule orders on it)."""
+    import datetime as dt
+
+    return dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
 def _parse_iso(s: str):
+    """Parse either timestamp layout (legacy second-precision manifests and
+    current microsecond ones) as an AWARE UTC datetime — naive datetimes
+    would be reinterpreted in the Spark session timezone, skewing lineage
+    'updated' values on non-UTC sessions."""
     import datetime as dt
 
-    try:
-        return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
-        return dt.datetime(1970, 1, 1)
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            return dt.datetime.strptime(s, fmt).replace(tzinfo=dt.timezone.utc)
+        except ValueError:
+            continue
+    return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _check_ident(name: str, dots: bool = False) -> str:
+    """Validate a stage/table/namespace name as a plain SQL identifier
+    (letters, digits, underscore; dot-separated segments when `dots`).
+    Names cross into interpolated SQL in IcebergTableIO — reject anything
+    else at the boundary instead of trusting callers."""
+    import re
+
+    pat = r"[A-Za-z_][A-Za-z0-9_]*"
+    if dots:
+        pat = rf"{pat}(\.{pat})*"
+    if not re.fullmatch(pat, name):
+        raise ValueError(f"invalid table/stage identifier: {name!r}")
+    return name
 
 
 def dir_bytes(path: str) -> int:
@@ -237,6 +263,13 @@ class ManifestTableIO:
 
         table_dir = self.table_path(table)
         keep = self.registered_dirs(stage)
+        if any(r.get("stage") == stage and r.get("status") == "done"
+               and not r.get("data_dir") for r in self.manifest["lineage"]):
+            # legacy layout: done lineage rows carry no data_dir, so data
+            # lives directly under the table dir (read() falls back to the
+            # whole-table scan) — gc here would wipe committed buckets while
+            # done_partitions() still reports them done
+            return
         if os.path.isdir(table_dir):
             for sub in os.listdir(table_dir):
                 if sub not in keep:
@@ -297,16 +330,19 @@ class IcebergTableIO:
         self.spark = spark
         if root.startswith("iceberg://"):
             root = root[len("iceberg://"):]
-        self.root = root
+        self.root = _check_ident(root, dots=True)
         catalog = root.split(".", 1)[0]
         if not iceberg_available(spark, catalog):
             raise IcebergUnavailable(
                 f"no Iceberg runtime jar / catalog '{catalog}' configured")
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {root}")
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.root}")
 
     # -- identifiers --------------------------------------------------
+    # stage/table names are interpolated into SQL (DROP/DELETE below), so
+    # every name crossing the TableIO boundary is validated as a plain
+    # identifier — user-supplied names can never smuggle quotes/semicolons
     def table_path(self, name: str) -> str:
-        return f"{self.root}.{name}"
+        return f"{self.root}.{_check_ident(name)}"
 
     @staticmethod
     def _encode_buckets(buckets: list[int]) -> str:
@@ -348,6 +384,21 @@ class IcebergTableIO:
                 return json.loads(r["metrics"])
         raise KeyError(stage)
 
+    @staticmethod
+    def buckets_from_summaries(summaries: list[dict], stage: str,
+                               input_fingerprint: str) -> set[int]:
+        """Pure decode: committed bucket ids from a list of Iceberg snapshot
+        summary maps. Split out so the resume contract is testable without
+        the runtime jar (tests feed recorded `.snapshots` summary rows)."""
+        done: set[int] = set()
+        for s in summaries:
+            s = s or {}
+            if (s.get("eslib.stage") == stage
+                    and s.get("eslib.fp") == input_fingerprint):
+                done |= IcebergTableIO._decode_buckets(
+                    s.get("eslib.buckets", ""))
+        return done
+
     def done_partitions(self, stage: str, input_fingerprint: str) -> set[int]:
         """Bucket ids from the snapshot summaries of the stage's table —
         the atomic source of truth for what committed."""
@@ -357,13 +408,8 @@ class IcebergTableIO:
         snaps = self.spark.sql(
             f"SELECT summary FROM {self.table_path(table)}.snapshots"
         ).collect()
-        done: set[int] = set()
-        for r in snaps:
-            s = r["summary"] or {}
-            if (s.get("eslib.stage") == stage
-                    and s.get("eslib.fp") == input_fingerprint):
-                done |= self._decode_buckets(s.get("eslib.buckets", ""))
-        return done
+        return self.buckets_from_summaries(
+            [r["summary"] for r in snaps], stage, input_fingerprint)
 
     @staticmethod
     def _stage_table(stage: str) -> str:
@@ -432,6 +478,7 @@ class IcebergTableIO:
         return str(rows[0]["snapshot_id"]) if rows else None
 
     def reset_stage(self, stage: str, table: str) -> None:
+        _check_ident(stage)
         self.spark.sql(
             f"DROP TABLE IF EXISTS {self.table_path(table)}")
         if self._exists("_stages"):
@@ -449,6 +496,24 @@ class IcebergTableIO:
             "Iceberg lineage commits atomically inside commit_group; "
             "there is no separate record step")
 
+    @staticmethod
+    def lineage_from_snapshots(stage: str,
+                               snaps: list[tuple]) -> list[tuple]:
+        """Pure decode: schemas.LINEAGE tuples from (committed_at, summary)
+        snapshot rows — jar-free-testable twin of lineage_df's inner loop."""
+        out = []
+        for committed_at, summ in snaps:
+            summ = summ or {}
+            if summ.get("eslib.stage") != stage:
+                continue
+            for b in IcebergTableIO._decode_buckets(
+                    summ.get("eslib.buckets", "")):
+                out.append((stage, int(b), summ.get("eslib.fp", ""),
+                            "done",
+                            int(summ.get("added-files-size", -1)),
+                            -1, 1, committed_at))
+        return out
+
     def lineage_df(self) -> DataFrame:
         """Per-partition lineage reconstructed from snapshot summaries."""
         from elasticsearch_eslib_spark import schemas
@@ -462,15 +527,8 @@ class IcebergTableIO:
             snaps = self.spark.sql(
                 f"SELECT committed_at, summary FROM "
                 f"{self.table_path(table)}.snapshots").collect()
-            for s in snaps:
-                summ = s["summary"] or {}
-                if summ.get("eslib.stage") != stage:
-                    continue
-                for b in self._decode_buckets(summ.get("eslib.buckets", "")):
-                    out.append((stage, int(b), summ.get("eslib.fp", ""),
-                                "done",
-                                int(summ.get("added-files-size", -1)),
-                                -1, 1, s["committed_at"]))
+            out.extend(self.lineage_from_snapshots(
+                stage, [(s["committed_at"], s["summary"]) for s in snaps]))
         return self.spark.createDataFrame(out, schemas.LINEAGE)
 
 

@@ -131,6 +131,85 @@ def test_lsh_pairs_survive_boilerplate_shingle_skew(spark, tmp_path):
         assert abs(j - true_j) < 1e-6
 
 
+def test_simhash_pairs_oversized_bucket_recursion(spark):
+    """>cap docs sharing one 16-bit band value: the operator detects the
+    oversized bucket, recurses onto 12-bit sub-bands of the remaining 48
+    bits (multi-index hashing), the result still EXACTLY equals brute
+    force, and no recursed join side exceeds the cap."""
+    import random
+    from collections import Counter
+
+    from elasticsearch_eslib_spark.operators.dedup import (
+        HAMMING_RADIUS, simhash_oversized_buckets, simhash_pairs_of,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        hi = rng.getrandbits(32)
+        lo = (rng.getrandbits(16) << 16) | 0x1234  # band 0 shared by ALL 60
+        rows.append((i, hi, lo))
+    # plant a true near-dup pair inside the oversized bucket (hamming 2)
+    rows[50] = (50, rows[40][1] ^ 0b101, rows[40][2])
+    sig = spark.createDataFrame(
+        rows, "doc_id long, simhash_hi long, simhash_lo long")
+
+    over = simhash_oversized_buckets(sig, max_bucket=10).collect()
+    assert any(r["band"] == 0 and r["v"] == 0x1234 and r["n"] == 60
+               for r in over)
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs_of(sig, max_bucket=10).collect()}
+    expect = {}
+    for i, (a, ha, la) in enumerate(rows):
+        for b, hb, lb in rows[i + 1:]:
+            ham = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+            if ham <= HAMMING_RADIUS:
+                expect[(min(a, b), max(a, b))] = ham
+    assert got == expect
+    assert got[(40, 50)] == 2
+
+    # structural bound: replicate the oversized bucket's sub-banding — every
+    # (band, v, sub_band, sub_value) group stays within the cap, so neither
+    # side of the recursed self-join exceeds it
+    cnt: Counter = Counter()
+    for _i, hi, lo in rows:
+        b1 = (lo >> 16) & 0xFFFF
+        b2 = hi & 0xFFFF
+        b3 = (hi >> 16) & 0xFFFF
+        rem = b1 | (b2 << 16) | (b3 << 32)
+        for s in range(4):
+            cnt[(s, (rem >> (12 * s)) & 0xFFF)] += 1
+    assert max(cnt.values()) <= 10
+
+
+def test_lsh_oversized_bucket_star_links_cluster(spark):
+    """A cluster of >cap docs with identical signatures (near-identical but
+    not byte-identical text) is still LINKED — each member pairs with the
+    cluster's min doc_id — instead of silently yielding zero pairs."""
+    from elasticsearch_eslib_spark.operators.dedup import (
+        lsh_candidate_pairs, lsh_oversized_buckets,
+    )
+
+    schema = ("doc_id long, " +
+              ", ".join(f"sig_{j} long" for j in range(8)))
+    rows = [(i, *([42] * 8)) for i in range(30)]       # one 30-doc cluster
+    rows += [(100, *range(8)), (101, 0, 1, 77, 78, 79, 80, 81, 82)]
+    sigs = spark.createDataFrame(rows, schema)
+
+    over = lsh_oversized_buckets(sigs, max_bucket=10).collect()
+    assert len(over) == 4 and all(r["n"] == 30 and r["min_doc"] == 0
+                                  for r in over)
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(sigs, max_bucket=10).collect()}
+    # star: every cluster member linked to doc 0, at O(m) not O(m²)
+    assert {(0, i) for i in range(1, 30)} <= pairs
+    assert not any(a != 0 and a < 30 and b < 30 for a, b in pairs)
+    # normal small-bucket path untouched: 100/101 share band 0 only
+    assert (100, 101) in pairs
+
+
 def test_jaccard_vs_seed_self_is_one(spark):
     from elasticsearch_eslib_spark.operators.dedup import jaccard_vs_seed
 

@@ -113,6 +113,104 @@ def test_iceberg_bucket_codec_roundtrip():
     assert IcebergTableIO._decode_buckets("") == set()
 
 
+def test_iceberg_summary_decode_roundtrip_jarfree():
+    """The resume contract's snapshot-summary decode, driven by RECORDED
+    `.snapshots` rows (shaped like real Iceberg summaries, incl. the engine
+    properties next to Iceberg's own keys) — covers done_partitions and
+    lineage_df logic without the runtime jar."""
+    import datetime as dt
+
+    t1 = dt.datetime(2026, 8, 16, 12, 0, 0, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2026, 8, 16, 12, 5, 0, tzinfo=dt.timezone.utc)
+    summaries = [
+        # group 1: buckets 0,2 under fp-A
+        {"operation": "append", "added-data-files": "2",
+         "added-files-size": "2048", "added-records": "100",
+         "eslib.stage": "tokenized", "eslib.fp": "fp-A",
+         "eslib.buckets": "0,2"},
+        # group 2: bucket 1 under fp-A
+        {"operation": "append", "added-data-files": "1",
+         "added-files-size": "1024", "added-records": "50",
+         "eslib.stage": "tokenized", "eslib.fp": "fp-A",
+         "eslib.buckets": "1"},
+        # a different stage's snapshot on the same table must not count
+        {"operation": "append", "eslib.stage": "other",
+         "eslib.fp": "fp-A", "eslib.buckets": "9"},
+        # same stage, STALE fingerprint must not count
+        {"operation": "append", "eslib.stage": "tokenized",
+         "eslib.fp": "fp-OLD", "eslib.buckets": "7"},
+        # an Iceberg maintenance snapshot with no engine properties
+        {"operation": "replace"},
+        None,  # a null summary row must not crash the decode
+    ]
+    got = IcebergTableIO.buckets_from_summaries(summaries, "tokenized", "fp-A")
+    assert got == {0, 1, 2}
+    assert IcebergTableIO.buckets_from_summaries(
+        summaries, "tokenized", "fp-OLD") == {7}
+    assert IcebergTableIO.buckets_from_summaries(
+        summaries, "nosuch", "fp-A") == set()
+
+    rows = IcebergTableIO.lineage_from_snapshots(
+        "tokenized", list(zip([t1, t1, t1, t2, t2, t2], summaries)))
+    assert {(r[1], r[2]) for r in rows} == {
+        (0, "fp-A"), (2, "fp-A"), (1, "fp-A"), (7, "fp-OLD")}
+    by_pid = {r[1]: r for r in rows if r[2] == "fp-A"}
+    assert by_pid[0][4] == 2048 and by_pid[1][4] == 1024  # added-files-size
+    assert all(r[3] == "done" for r in rows)
+
+
+def test_iceberg_identifier_validation(spark, tmp_path):
+    """Stage/table names are interpolated into SQL — anything that is not a
+    plain identifier is rejected at the TableIO boundary."""
+    from elasticsearch_eslib_spark.sources.tableio import _check_ident
+
+    assert _check_ident("tokenized") == "tokenized"
+    assert _check_ident("ice.ns_1", dots=True) == "ice.ns_1"
+    for bad in ("a'; DROP TABLE x; --", "a b", "", "a.b", "1abc", "a-b"):
+        with pytest.raises(ValueError):
+            _check_ident(bad)
+    with pytest.raises(ValueError):
+        _check_ident("ice..ns", dots=True)
+
+
+def test_parse_iso_tz_aware():
+    """Lineage timestamps parse as AWARE UTC in both layouts; unparseable
+    strings fall back to the aware epoch (never a naive datetime that a
+    non-UTC session would shift)."""
+    import datetime as dt
+
+    from elasticsearch_eslib_spark.sources.tableio import (
+        _parse_iso, _utcnow_iso,
+    )
+
+    legacy = _parse_iso("2026-08-16T12:00:00Z")
+    micro = _parse_iso("2026-08-16T12:00:00.654321Z")
+    assert legacy.tzinfo == dt.timezone.utc
+    assert micro.tzinfo == dt.timezone.utc and micro.microsecond == 654321
+    assert _parse_iso("garbage").tzinfo == dt.timezone.utc
+    # round-trip of the current writer format
+    now = _utcnow_iso()
+    assert _parse_iso(now).strftime("%Y-%m-%dT%H:%M:%S.%fZ") == now
+
+
+def test_gc_skips_legacy_layout(spark, tmp_path):
+    """A manifest whose done lineage rows predate the data_dir layout must
+    NOT have its on-disk bucket dirs wiped by gc_unregistered: read() falls
+    back to the whole-table scan there, and done_partitions still reports
+    those buckets done — gc would orphan a resumed build."""
+    root = str(tmp_path / "legacy")
+    io = ManifestTableIO(spark, root)
+    df = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, bucket int")
+    df.write.partitionBy("bucket").parquet(io.table_path("tokenized"))
+    io.record_partitions("tokenized", FP, [
+        {"partition_id": 0}, {"partition_id": 1}])  # legacy: no data_dir
+    assert io.done_partitions("tokenized", FP) == {0, 1}
+    io.gc_unregistered("tokenized", "tokenized")
+    got = sorted(r["doc_id"] for r in io.read("tokenized").collect())
+    assert got == [1, 2]  # data survived; resume keeps skipping done buckets
+    assert io.done_partitions("tokenized", FP) == {0, 1}
+
+
 def test_manifest_crash_window_invisible(spark, tmp_path):
     """commit_group's crash injection leaves data on disk that read()
     must NOT see, and gc_unregistered reclaims it."""
