@@ -137,6 +137,12 @@ _END = 2**62
 # would only add scheduling overhead.
 WAND_RANGE_MIN_DOCS = 65_536
 WAND_MAX_RANGES = 1024
+# under-parallel guard: when the doc-count rule yields fewer ranges than
+# the cluster has slots, a serve job with few queries leaves most of the
+# machine idle and one straggler group sets the wall clock (measured at
+# 600k docs / 32 cores: 9 ranges → WAND p50 SLOWER than at 6M docs with 91
+# ranges). Ranges then shrink down to this floor to fill the slots.
+WAND_RANGE_FLOOR_DOCS = WAND_RANGE_MIN_DOCS // 8
 
 
 class _TermCursor:
@@ -324,7 +330,11 @@ def topk_wand(queries: DataFrame, terms: DataFrame, postings: DataFrame,
 
     avg_dl_f = float(avg_dl)
     if n_ranges is None:
-        n_ranges = max(1, min(WAND_MAX_RANGES, n_docs // WAND_RANGE_MIN_DOCS))
+        n_ranges = min(WAND_MAX_RANGES, n_docs // WAND_RANGE_MIN_DOCS)
+        slots = queries.sparkSession.sparkContext.defaultParallelism
+        if n_ranges < slots:
+            n_ranges = min(slots, n_docs // max(1, WAND_RANGE_FLOOR_DOCS))
+        n_ranges = max(1, n_ranges)
     # doc ids are dense 1..n_docs (E3); width covers the full id space
     width = max(1, (n_docs + n_ranges) // n_ranges)
 

@@ -56,6 +56,43 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def pin_near_dup_planes(spark: SparkSession, sf_dir: str,
+                        meta_dir: str) -> int:
+    """Ingest-time plane pinning: compute the occupancy-scaled plane count
+    ONCE and record it (with the table fingerprint) in a sidecar manifest
+    next to wherever the bucketed table lives. Readers use the recorded
+    value, never a fresh count — two jobs bucketing the same table can
+    never disagree (the round-2 risk: a driver-side count at query time).
+    Atomic write (os.replace), idempotent for the same table state."""
+    import json
+    import os
+
+    from elasticsearch_eslib_spark.sources.tableio import fingerprint_path
+
+    n = near_dup_planes(load_embeddings(spark, sf_dir).count())
+    os.makedirs(meta_dir, exist_ok=True)
+    path = os.path.join(meta_dir, "_near_dup_planes.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_planes": n, "seed": _PLANES_SEED,
+                   "fingerprint":
+                       fingerprint_path(f"{sf_dir}/embeddings.parquet")}, fh)
+    os.replace(tmp, path)
+    return n
+
+
+def pinned_near_dup_planes(meta_dir: str) -> int | None:
+    """Read a pinned plane count back; None when no pin exists."""
+    import json
+    import os
+
+    path = os.path.join(meta_dir, "_near_dup_planes.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return int(json.load(fh)["n_planes"])
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -130,15 +167,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.35,
-                       n_planes: int | None = None) -> DataFrame:
+                       n_planes: int | None = None,
+                       meta_dir: str | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets: (vec_a, vec_b,
     cosine ≥ threshold), pairs only within a bucket.
 
     Plane count scales with corpus size (near_dup_planes: buckets ∝ n at
     TARGET_BUCKET_OCCUPANCY) so the within-bucket all-pairs stays linear
-    in n — the fixed 64-bucket O(n²/64) this replaces died at scale. The
-    count() below is one cheap metadata-only job (row count from parquet
-    footers / Iceberg stats)."""
+    in n — the fixed 64-bucket O(n²/64) this replaces died at scale.
+
+    Plane-count resolution order: explicit `n_planes` → the value PINNED at
+    ingest (`pin_near_dup_planes` sidecar in `meta_dir`) → a fresh
+    metadata-only count (parquet footers / Iceberg stats; test-scale
+    convenience only — production buckets at ingest and pins)."""
+    if n_planes is None and meta_dir is not None:
+        n_planes = pinned_near_dup_planes(meta_dir)
     if n_planes is None:
         n_planes = near_dup_planes(load_embeddings(spark, sf_dir).count())
     emb = load_embeddings(spark, sf_dir).withColumn(

@@ -18,6 +18,11 @@ Structured Streaming with watermarks + windows:
     spark-sql-kafka jar, so the stream is driven by a file source with the
     IDENTICAL schema — swapping in `readStream.format("kafka")` changes
     only the source line.
+  * `socket_pages_stream` / `stream_socket_pages_ingest` — the HttpMonitor
+    analog: a push LISTENER (line-oriented socket source, one JSON page
+    per line, same payload schema as the Kafka value) into the same
+    idempotent sink; exercised end-to-end over a real localhost socket in
+    tests.
 
 Exactly-once semantics: foreachBatch gives at-least-once delivery of each
 epoch, so the SINK must be idempotent — each epoch (over)writes its own
@@ -129,18 +134,24 @@ def kafka_shaped_stream(spark: SparkSession, records_dir: str) -> DataFrame:
     return spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(records_dir)
 
 
-def parse_pages_records(records: DataFrame) -> DataFrame:
-    """Kafka-wire records → pages rows (schemas.PAGES shape)."""
-    payload = F.from_json(
-        F.decode("value", "utf-8"),
-        "url string, warc_ts timestamp, html_b64 string, "
-        "text string, lang string")
-    return (records.select(payload.alias("p"))
+_PAGES_JSON_SCHEMA = ("url string, warc_ts timestamp, html_b64 string, "
+                      "text string, lang string")
+
+
+def _json_payload_to_pages(df: DataFrame, json_col) -> DataFrame:
+    """JSON page payloads (string column) → pages rows (schemas.PAGES)."""
+    payload = F.from_json(json_col, _PAGES_JSON_SCHEMA)
+    return (df.select(payload.alias("p"))
             .select(F.col("p.url").alias("url"),
                     F.col("p.warc_ts").alias("warc_ts"),
                     F.unbase64(F.col("p.html_b64")).alias("html"),
                     F.col("p.text").alias("text"),
                     F.col("p.lang").alias("lang")))
+
+
+def parse_pages_records(records: DataFrame) -> DataFrame:
+    """Kafka-wire records → pages rows (schemas.PAGES shape)."""
+    return _json_payload_to_pages(records, F.decode("value", "utf-8"))
 
 
 def stream_kafka_pages_ingest(spark: SparkSession, records_dir: str,
@@ -150,3 +161,36 @@ def stream_kafka_pages_ingest(spark: SparkSession, records_dir: str,
     return (pages.writeStream.foreachBatch(epoch_idempotent_sink(out_dir))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def pages_to_json_lines(pages: DataFrame) -> DataFrame:
+    """(value string): one JSON line per page — the line-oriented wire shape
+    a push-listener ingest receives (producer side; stages test streams)."""
+    return pages.select(F.to_json(F.struct(
+        "url", "warc_ts",
+        F.base64("html").alias("html_b64"),
+        "text", "lang")).alias("value"))
+
+
+def socket_pages_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """HttpMonitor analog (reference §2.1 row 15): a LISTENER that external
+    producers push documents to, re-expressed as Structured Streaming's
+    line-oriented socket source — one JSON page per line, the same payload
+    schema as the Kafka-wire value. The socket source is at-most-once on
+    its own (no replay); the epoch-idempotent sink still guarantees a
+    retried epoch never lands twice. For at-least-once delivery a real
+    deployment fronts the listener with a replayable log (the Kafka path
+    above) — this analog covers the push-ingest SHAPE."""
+    lines = (spark.readStream.format("socket")
+             .option("host", host).option("port", port).load())
+    return _json_payload_to_pages(lines, F.col("value"))
+
+
+def stream_socket_pages_ingest(spark: SparkSession, host: str, port: int,
+                               out_dir: str, checkpoint_dir: str):
+    """Socket-listener pages → the same epoch-idempotent sink. No
+    availableNow trigger: a listener is genuinely unbounded — tests drive
+    it with processAllAvailable + stop."""
+    pages = socket_pages_stream(spark, host, port)
+    return (pages.writeStream.foreachBatch(epoch_idempotent_sink(out_dir))
+            .option("checkpointLocation", checkpoint_dir))

@@ -310,6 +310,28 @@ def test_embedding_near_dup_plane_scaling(spark):
         assert abs(c - true_c) < 1e-9
 
 
+def test_near_dup_planes_pinned_at_ingest(spark, tmp_path):
+    """Two jobs over the same table agree on buckets BY CONSTRUCTION: the
+    plane count is pinned once at ingest into a sidecar manifest and every
+    reader uses the recorded value (never a fresh count)."""
+    from elasticsearch_eslib_spark.operators.similarity import (
+        embedding_near_dup, pin_near_dup_planes, pinned_near_dup_planes,
+    )
+
+    meta = str(tmp_path / "emb_meta")
+    n = pin_near_dup_planes(spark, SF, meta)
+    # a second "session" (reader) sees the identical pinned value with no
+    # count of its own
+    assert pinned_near_dup_planes(meta) == n
+    via_pin = {(r["vec_a"], r["vec_b"]): r["cosine"]
+               for r in embedding_near_dup(spark, SF, meta_dir=meta).collect()}
+    explicit = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                for r in embedding_near_dup(spark, SF, n_planes=n).collect()}
+    assert via_pin == explicit
+    # pin is idempotent for the same table state
+    assert pin_near_dup_planes(spark, SF, meta) == n
+
+
 def test_quality_and_langid_shapes(spark):
     from elasticsearch_eslib_spark.functions.textstats import (
         lang_id, quality_score, token_count,

@@ -74,6 +74,58 @@ def test_epoch_sink_idempotent_on_retry(spark, pages_parquet, tmp_path):
     assert spark.read.parquet(out).count() == 250
 
 
+def test_socket_pages_ingest_stream_equals_batch(spark, pages_parquet,
+                                                 tmp_path):
+    """HttpMonitor analog end-to-end through a REAL localhost socket: a
+    producer pushes JSON page lines to the listener, the stream parses and
+    lands them via the epoch-idempotent sink, and the corpus table equals
+    the batch pages byte-for-byte (url/text/lang/html)."""
+    import socket
+    import threading
+
+    from elasticsearch_eslib_spark.streaming.ingest import (
+        pages_to_json_lines, stream_socket_pages_ingest,
+    )
+
+    pages = spark.read.parquet(pages_parquet).limit(50)
+    payload = ("\n".join(
+        r["value"] for r in pages_to_json_lines(pages).collect()) + "\n")
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    conns = []
+
+    def serve():
+        conn, _ = srv.accept()
+        conns.append(conn)           # keep open until the stream stops
+        conn.sendall(payload.encode("utf-8"))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out = str(tmp_path / "sock_out")
+    ckpt = str(tmp_path / "sock_ckpt")
+    q = stream_socket_pages_ingest(
+        spark, "127.0.0.1", port, out, ckpt).start()
+    try:
+        t.join(timeout=30)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        for c in conns:
+            c.close()
+        srv.close()
+    got = spark.read.parquet(out)
+    orig = {(r["url"], r["text"], r["lang"], bytes(r["html"]))
+            for r in pages.collect()}
+    back = {(r["url"], r["text"], r["lang"], bytes(r["html"]))
+            for r in got.collect()}
+    assert back == orig
+
+
 def test_kafka_shaped_ingest_roundtrip(spark, pages_parquet, tmp_path):
     """pages → Kafka-wire records → streaming ingest → corpus table equals
     the original pages byte-for-byte (url/text/lang/html)."""
