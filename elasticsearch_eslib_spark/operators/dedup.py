@@ -78,8 +78,10 @@ def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
     return df
 
 
-def shingles_of(docs: DataFrame, do_spread: bool = True) -> DataFrame:
-    """(doc_id, shingle): distinct k-word shingles of a documents-shaped df.
+def doc_shingle_arrays(docs: DataFrame, do_spread: bool = True) -> DataFrame:
+    """(doc_id, shs array<string>): each doc's DISTINCT k-word shingles as
+    one packed array — computed entirely per-row (array_distinct inside the
+    projection), so shingling involves NO shuffle at any corpus size.
 
     The token array is materialized as a column BEFORE the transform —
     inlining it would re-evaluate filter(split(text)) inside every
@@ -96,19 +98,41 @@ def shingles_of(docs: DataFrame, do_spread: bool = True) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(t, i),
                               F.element_at(t, i + 1),
                               F.element_at(t, i + 2)))
-    return base.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return base.select("doc_id", F.array_distinct(sh).alias("shs"))
+
+
+def shingles_of(docs: DataFrame, do_spread: bool = True) -> DataFrame:
+    """(doc_id, shingle): distinct k-word shingles, one row per shingle.
+    Distinctness is per-doc (array_distinct) — identical result to a global
+    (doc_id, shingle) distinct but with NO shuffle."""
+    return (doc_shingle_arrays(docs, do_spread)
+            .select("doc_id", F.explode("shs").alias("shingle")))
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load_documents(spark, sf_dir))
 
 
+def _sig_cols() -> list:
+    """sig_0..sig_7 as per-row expressions over a packed `shs` array —
+    min over shingles of seeded md5_long, NO groupBy/shuffle (the shuffle
+    layout this replaces moved the whole shingle stream; this is a narrow
+    projection that Catalyst pipelines into the scan)."""
+    def seeded(j: int):
+        # a plain unary closure: a `lambda x, j=j` would make PySpark treat
+        # the lambda as (element, index) and bind j to the array INDEX
+        return lambda x: md5_long_seeded(x, j)
+
+    return [
+        F.array_min(F.transform(F.col("shs"), seeded(j))).alias(f"sig_{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig_0..sig_7): min over shingles of seeded md5_long."""
-    sh = shingles(spark, sf_dir)
-    aggs = [F.min(md5_long_seeded(F.col("shingle"), j)).alias(f"sig_{j}")
-            for j in range(N_MINHASH)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return (doc_shingle_arrays(load_documents(spark, sf_dir))
+            .select("doc_id", *_sig_cols()))
 
 
 def _lsh_banded(sigs: DataFrame) -> DataFrame:
@@ -137,6 +161,13 @@ def lsh_oversized_buckets(sigs: DataFrame,
             .where(F.col("n") > max_bucket))
 
 
+# the oversized-bucket set is driver metadata (like query term lists): its
+# size is bounded by corpus/max_bucket; collecting it lets the common
+# no-skew case skip the degradation branches entirely. Above this many
+# oversized buckets the plan stays fully distributed instead.
+_MAX_OVER_DRIVER = 10_000
+
+
 def lsh_candidate_pairs(sigs: DataFrame,
                         max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """(doc_a, doc_b) distinct LSH candidates from a minhash signature df.
@@ -147,15 +178,32 @@ def lsh_candidate_pairs(sigs: DataFrame,
     member is paired with the bucket's min doc_id, so a >cap cluster of
     templated near-identical pages is still connected at O(m) pairs instead
     of being silently dropped (the round-2 behavior) or costing O(m²).
-    Oversized buckets are detected with a groupBy partial-agg count and a
-    broadcast join of only the (tiny) oversized set — no window sort over
-    the banded stream.
+
+    The oversized set is detected with one groupBy partial-agg count; when
+    it is EMPTY (the common case) the plan short-circuits to the plain
+    within-bucket join — no anti-join/star stages are even planned. When
+    small it ships as a broadcast local relation; only a pathological
+    bucket-count falls back to the fully distributed two-branch plan.
     """
     banded = _lsh_banded(sigs)
-    over = (banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
-            .where(F.col("n") > max_bucket)
-            .select("band", "bucket", "min_doc"))
+    over_plan = (banded.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+                 .where(F.col("n") > max_bucket)
+                 .select("band", "bucket", "min_doc"))
+    over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
+    if not over_rows:
+        return (banded.alias("a").join(banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+    if len(over_rows) <= _MAX_OVER_DRIVER:
+        over = sigs.sparkSession.createDataFrame(
+            over_rows, "band int, bucket long, min_doc long")
+    else:  # pathological: keep the detection distributed
+        over = over_plan
     small = banded.join(F.broadcast(over.select("band", "bucket")),
                         ["band", "bucket"], "left_anti")
     full = (small.alias("a").join(small.alias("b"),
@@ -185,27 +233,30 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     no longer produce m² intermediate rows (it inflates nothing here; it
     only ever lives inside per-doc arrays).
     """
-    # ONE pass over the shingle table: the min-aggs (signatures) and the
-    # packed shingle array ride the SAME groupBy shuffle — the corpus is
-    # shingled exactly once (round 2 shingled it twice: signatures + a
-    # re-shingle of the candidate docs). collect_list adds the shingle
-    # strings as shuffle payload, but that stream had to be shuffled by
-    # doc_id for the min-aggs anyway.
-    sh = shingles(spark, sf_dir)
-    aggs = [F.min(md5_long_seeded(F.col("shingle"), j)).alias(f"sig_{j}")
-            for j in range(N_MINHASH)]
-    packed = (sh.groupBy("doc_id")
-              .agg(*aggs, F.collect_list("shingle").alias("shs"),
-                   F.count("*").alias("n_sh"))
-              .persist())
-    cand = lsh_candidate_pairs(
-        packed.select("doc_id", *[f"sig_{j}" for j in range(N_MINHASH)]))
-    # candidate docs ≪ corpus: semi-join the cached packed table down before
-    # the (array-payload) pair joins so only candidates carry their arrays
+    # ONE pass over the corpus, NO shuffle: each doc's packed distinct
+    # shingle array is a plain projection (array_distinct inside the
+    # select) — the corpus is shingled exactly once (round 2 shingled it
+    # twice AND shuffled the shingle stream twice: a global distinct plus
+    # the signature groupBy). The arrays are persisted so every downstream
+    # expression references a cached ATTRIBUTE: without the cache boundary
+    # Catalyst inlines the (huge) shingling tree into the 8 signature
+    # expressions and the generator-inferred filters, and analyzer/codegen
+    # time on the inlined trees dominated the whole query (measured 11.5 s
+    # cold vs ~3 s with the boundary at sf0.1). MEMORY_AND_DISK by default;
+    # at cluster scale this cache is corpus-sized — the same footprint as
+    # any materialized shingle table.
+    arrs = doc_shingle_arrays(load_documents(spark, sf_dir)).persist()
+    # signatures are 8 longs/doc — tiny; persist so the md5 transforms run
+    # once even though the banding consumes sigs several times
+    sigs = arrs.select("doc_id", *_sig_cols()).persist()
+    cand = lsh_candidate_pairs(sigs).persist()
+    # candidate docs ≪ corpus: semi-join the cached arrays down before the
+    # (array-payload) pair joins so only candidates carry their arrays
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .union(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    packed_cand = packed.join(cand_docs, "doc_id", "left_semi")
+    packed_cand = (arrs.join(cand_docs, "doc_id", "left_semi")
+                   .select("doc_id", "shs", F.size("shs").alias("n_sh")))
     pa = packed_cand.select(F.col("doc_id").alias("doc_a"),
                             F.col("shs").alias("shs_a"),
                             F.col("n_sh").alias("n_a"))
@@ -224,7 +275,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     # released NOW — round 2 leaked `cand`/`sig` cached blocks for the
     # session lifetime (each bench rep re-accumulated executor storage)
     out = out.localCheckpoint(eager=True)
-    packed.unpersist()
+    cand.unpersist()
+    sigs.unpersist()
+    arrs.unpersist()
     return out
 
 
@@ -338,36 +391,54 @@ def simhash_pairs_of(sig: DataFrame,
                          F.explode(bands).alias("bb"))
               .select("doc_id", "simhash_hi", "simhash_lo",
                       F.col("bb.band").alias("band"), F.col("bb.v").alias("v")))
-    over = (banded.groupBy("band", "v").agg(F.count("*").alias("n"))
-            .where(F.col("n") > max_bucket).select("band", "v"))
-    # small buckets: plain within-bucket pairing (bounded by the cap)
-    small = (banded.join(F.broadcast(over), ["band", "v"], "left_anti")
-             .select("doc_id", "band", "v"))
-    cand_small = (small.alias("a").join(small.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.v") == F.col("b.v"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-                  .select(F.col("a.doc_id").alias("doc_a"),
-                          F.col("b.doc_id").alias("doc_b")))
-    # oversized buckets: recurse on 4 × 12-bit sub-bands of the other 48 bits
-    sub_structs = F.array(*[
-        F.struct(F.lit(s).alias("s"),
-                 F.shiftright(_simhash_rem48(F.col("band")), 12 * s)
-                 .bitwiseAND(F.lit(4095)).alias("sv"))
-        for s in range(4)])
-    big = (banded.join(F.broadcast(over), ["band", "v"])
-           .select("doc_id", "band", "v", F.explode(sub_structs).alias("ss"))
-           .select("doc_id", "band", "v", F.col("ss.s").alias("s"),
-                   F.col("ss.sv").alias("sv")))
-    cand_big = (big.alias("a").join(big.alias("b"),
+    over_plan = (banded.groupBy("band", "v").agg(F.count("*").alias("n"))
+                 .where(F.col("n") > max_bucket).select("band", "v"))
+    # driver metadata probe (≤ 4·65536 rows by construction — each band has
+    # only 2^16 values): when no bucket is oversized (common case) the plan
+    # short-circuits to the plain band join with zero extra stages
+    over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
+    if not over_rows:
+        cand = (banded.alias("a").join(banded.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.v") == F.col("b.v"))
-                & (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.sv") == F.col("b.sv"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
                 .select(F.col("a.doc_id").alias("doc_a"),
-                        F.col("b.doc_id").alias("doc_b")))
-    cand = cand_small.unionByName(cand_big).distinct()
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+    else:
+        over = (sig.sparkSession.createDataFrame(
+                    over_rows, "band int, v long")
+                if len(over_rows) <= _MAX_OVER_DRIVER else over_plan)
+        # small buckets: plain within-bucket pairing (bounded by the cap)
+        small = (banded.join(F.broadcast(over), ["band", "v"], "left_anti")
+                 .select("doc_id", "band", "v"))
+        cand_small = (small.alias("a").join(small.alias("b"),
+                      (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.v") == F.col("b.v"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                      .select(F.col("a.doc_id").alias("doc_a"),
+                              F.col("b.doc_id").alias("doc_b")))
+        # oversized buckets: recurse on 4 × 12-bit sub-bands of the other
+        # 48 bits
+        sub_structs = F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.shiftright(_simhash_rem48(F.col("band")), 12 * s)
+                     .bitwiseAND(F.lit(4095)).alias("sv"))
+            for s in range(4)])
+        big = (banded.join(F.broadcast(over), ["band", "v"])
+               .select("doc_id", "band", "v",
+                       F.explode(sub_structs).alias("ss"))
+               .select("doc_id", "band", "v", F.col("ss.s").alias("s"),
+                       F.col("ss.sv").alias("sv")))
+        cand_big = (big.alias("a").join(big.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.v") == F.col("b.v"))
+                    & (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.sv") == F.col("b.sv"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+                    .select(F.col("a.doc_id").alias("doc_a"),
+                            F.col("b.doc_id").alias("doc_b")))
+        cand = cand_small.unionByName(cand_big).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     F.col("simhash_hi").alias("hi_a"),
                     F.col("simhash_lo").alias("lo_a"))
@@ -393,25 +464,27 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def jaccard_vs_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard of every doc against the seed doc (min doc_id):
-    (doc_id, jaccard) — the linear-cost brute-force baseline."""
-    sh = shingles(spark, sf_dir)
-    # the seed doc and its shingle set come from ONE document row — never
-    # recompute the full corpus shingle explode for them
-    docs = load_documents(spark, sf_dir)
-    toks_sz = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
-    seed_id = (docs.where(toks_sz >= SHINGLE_K)
-               .agg(F.min("doc_id")).collect()[0][0])
-    seed_row = docs.where(F.col("doc_id") == seed_id)
-    seed = (shingles_of(seed_row)
-            .select(F.col("shingle").alias("s_shingle")))
-    n_seed = seed.count()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (sh.join(F.broadcast(seed),
-                     sh["shingle"] == seed["s_shingle"])
-             .groupBy("doc_id").agg(F.count("*").alias("n_inter")))
-    return (sizes.join(inter, "doc_id", "left")
-            .na.fill({"n_inter": 0})
-            .withColumn("jaccard", F.round(
-                F.col("n_inter")
-                / (F.col("n_sh") + F.lit(n_seed) - F.col("n_inter")), 6))
-            .select("doc_id", "jaccard"))
+    (doc_id, jaccard) — the linear-cost brute-force baseline.
+
+    Fully narrow plan: per-doc packed shingle arrays (no explode, no
+    shuffle) cross-joined with the ONE-ROW broadcast seed array; the
+    intersection is a JVM-side array_intersect per doc. The persist is the
+    expression-tree boundary (see minhash_lsh_pairs) consumed by both the
+    seed lookup and the scoring pass."""
+    arrs = doc_shingle_arrays(load_documents(spark, sf_dir)).persist()
+    # arrs carries exactly the docs with ≥ K tokens, so the seed (min
+    # doc_id among them) is one tiny driver lookup on the cached arrays
+    seed_id = arrs.agg(F.min("doc_id")).collect()[0][0]
+    seed = (arrs.where(F.col("doc_id") == seed_id)
+            .select(F.col("shs").alias("seed_shs"),
+                    F.size("shs").alias("n_seed")))
+    out = (arrs.crossJoin(F.broadcast(seed))
+           .withColumn("n_sh", F.size("shs"))
+           .withColumn("n_inter", F.size(F.array_intersect("shs", "seed_shs")))
+           .withColumn("jaccard", F.round(
+               F.col("n_inter")
+               / (F.col("n_sh") + F.col("n_seed") - F.col("n_inter")), 6))
+           .select("doc_id", "jaccard"))
+    out = out.localCheckpoint(eager=True)
+    arrs.unpersist()
+    return out
