@@ -32,8 +32,14 @@ def assign_dense_ids(df: DataFrame, key_col: str, id_col: str,
     ``result._dense_ids_sums`` so callers skip extra aggregation jobs."""
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartitionByRange runs a SAMPLING job that executes the child plan
+    # before the real shuffle does — for an expensive child (S3's vocab is
+    # a full groupBy over the exploded tf stream) that doubles the stage.
+    # Persisting the input first makes the sampling pass materialize the
+    # cache and the shuffle read it back: the child computes exactly once.
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
     part = (
-        df.repartitionByRange(n_part, F.col(key_col))
+        src.repartitionByRange(n_part, F.col(key_col))
         .sortWithinPartitions(key_col)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -69,6 +75,8 @@ def assign_dense_ids(df: DataFrame, key_col: str, id_col: str,
             seen += len(pdf)
             yield out
 
+    # the range-partitioned cache supersedes the input cache from here on
+    src.unpersist()
     result = part.mapInPandas(_assign, schema=out_schema)
     # Note: `part` stays persisted until the caller materializes `result`;
     # callers that checkpoint the stage may call unpersist_ids() after.

@@ -42,6 +42,20 @@ class BuildError(RuntimeError):
     pass
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes of parquet data under `path` (file or directory)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def build_index(spark: SparkSession, pages_path: str, index_dir: str,
                 resume: bool = False,
                 n_buckets: int = N_INPUT_BUCKETS,
@@ -66,15 +80,27 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
     s1_fp = fp_input
     if not io.is_done("tokenized", s1_fp):
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # A few large input files would serialize the Arrow/Python stage.
+        # Fix it at the SCAN, not with a shuffle: size
+        # spark.sql.files.maxPartitionBytes so the parquet scan itself
+        # yields ≥ n_part splits, and extraction runs directly on scan
+        # tasks — the raw html bytes never cross a shuffle (the round-2
+        # `repartition(n_part, "url")` moved the whole html column per
+        # commit group). Scoped to S1: restored before S2 planning.
+        mpb_key = "spark.sql.files.maxPartitionBytes"
+        mpb_old = spark.conf.get(mpb_key)
+        in_bytes = _dir_bytes(pages_path)
+        target = max(4 << 20, min(128 << 20, in_bytes // max(1, n_part)))
+        spark.conf.set(mpb_key, str(target))
         # bucket on the RAW url so each commit group filters BEFORE the
         # Python extraction (the expensive stage runs exactly once per doc)
         pages = spark.read.parquet(pages_path).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
-        # a single large input file would serialize the Arrow/Python stage;
-        # spread it per GROUP, after the bucket filter, so each commit
-        # group shuffles only its own slice (on a real cluster the input
-        # arrives as many files and this becomes a no-op)
-        need_spread = pages.rdd.getNumPartitions() < n_part
+        # last-resort spread for inputs too small to split at the 4 MB
+        # floor yet big enough that one extraction task would drag (the
+        # packed-row shuffle this causes is tiny at that size)
+        need_spread = (in_bytes > (8 << 20)
+                       and pages.rdd.getNumPartitions() < n_part)
         done = io.done_partitions("tokenized", s1_fp) if resume else set()
         if not done:
             # nothing committed for THIS input fingerprint — start S1 clean
@@ -88,38 +114,46 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
             for g in range(n_commit_groups)
         ]
         t0 = time.time()
-        for g, buckets in enumerate(groups):
-            todo = [b for b in buckets if b not in done]
-            if not todo:
-                continue
-            slice_df = pages.where(F.col("bucket").isin(todo))
-            if need_spread:
-                slice_df = slice_df.repartition(n_part, "url")
-            part = extract_analyze_tf(slice_df).withColumn(
-                "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
-            # coalesce the write to ONE file per bucket: extraction ran on
-            # the (many) scan partitions above; without this shuffle every
-            # extraction task writes into every bucket dir → n_part ×
-            # n_buckets tiny files per group, and the 3 downstream scans of
-            # tokenized pay per-file overhead that stops scaling past ~8
-            # cores (measured: S2/S3 stage walls flat from local[8]→[32]).
-            # The shuffle itself moves only the PACKED rows (~0.3 KB/doc).
-            part = part.repartition(len(todo), "bucket")
-            # the group append + its bucket lineage commit atomically inside
-            # the TableIO impl (unique-dir + manifest replace, or a single
-            # Iceberg snapshot); a crash anywhere leaves no visible partial
-            try:
-                io.commit_group("tokenized", "tokenized", part, todo, s1_fp,
-                                partition_by=["bucket"],
-                                crash_before_record=(
-                                    fail_before_record is not None
-                                    and g >= fail_before_record))
-            except Exception as exc:
-                if "injected crash" in str(exc):
-                    raise BuildError(str(exc)) from exc
-                raise
-            if fail_after_group is not None and g >= fail_after_group:
-                raise BuildError(f"injected failure after commit group {g}")
+        try:
+            for g, buckets in enumerate(groups):
+                todo = [b for b in buckets if b not in done]
+                if not todo:
+                    continue
+                slice_df = pages.where(F.col("bucket").isin(todo))
+                if need_spread:
+                    slice_df = slice_df.repartition(n_part, "url")
+                part = extract_analyze_tf(slice_df).withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+                # coalesce the write to ONE file per bucket: extraction ran
+                # on the (many) scan partitions above; without this shuffle
+                # every extraction task writes into every bucket dir →
+                # n_part × n_buckets tiny files per group, and the 3
+                # downstream scans of tokenized pay per-file overhead that
+                # stops scaling past ~8 cores (measured: S2/S3 stage walls
+                # flat from local[8]→[32]). The shuffle itself moves only
+                # the PACKED rows (~0.3 KB/doc).
+                part = part.repartition(len(todo), "bucket")
+                # the group append + its bucket lineage commit atomically
+                # inside the TableIO impl (unique-dir + manifest replace,
+                # or a single Iceberg snapshot); a crash anywhere leaves no
+                # visible partial
+                try:
+                    io.commit_group(
+                        "tokenized", "tokenized", part, todo, s1_fp,
+                        partition_by=["bucket"],
+                        crash_before_record=(
+                            fail_before_record is not None
+                            and g >= fail_before_record))
+                except Exception as exc:
+                    if "injected crash" in str(exc):
+                        raise BuildError(str(exc)) from exc
+                    raise
+                if fail_after_group is not None and g >= fail_after_group:
+                    raise BuildError(
+                        f"injected failure after commit group {g}")
+        finally:
+            spark.conf.set(mpb_key, mpb_old)
         io.commit_stage("tokenized", "tokenized", None, s1_fp,
                         metrics={"wall_ms": int((time.time() - t0) * 1000)})
     metrics["s1_skipped"] = io.is_done("tokenized", s1_fp)
