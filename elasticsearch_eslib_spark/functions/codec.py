@@ -71,6 +71,53 @@ def _unpack_low_bits(data: bytes, n: int, b: int) -> np.ndarray:
     return (bits << shifts).sum(axis=1, dtype=np.uint64)
 
 
+def _bit_widths(vals: np.ndarray) -> np.ndarray:
+    """Exact per-value bit width (0 → 0) for uint64, fully vectorized.
+
+    log2 via float64 is exact-safe only below 2^53, so the value splits
+    into 32-bit halves first (each half < 2^32 is exactly representable;
+    floor(log2(2^k)) == k holds in IEEE for exact powers)."""
+    hi = (vals >> np.uint64(32)).astype(np.float64)
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    w = np.zeros(len(vals), dtype=np.int64)
+    m = lo > 0
+    if m.any():
+        w[m] = np.floor(np.log2(lo[m])).astype(np.int64) + 1
+    m = hi > 0
+    if m.any():
+        w[m] = np.floor(np.log2(hi[m])).astype(np.int64) + 33
+    return w
+
+
+# Below this many values the pure-Python encoder beats numpy's per-call
+# overhead (Zipf vocabularies make 1-4-posting terms the majority of
+# encode_stream calls); both paths emit byte-identical output.
+_SMALL_N = 32
+
+
+def _encode_small(vals: list[int]) -> bytes:
+    """Pure-Python encode_stream for short streams — identical bytes:
+    the packed payload is Σ (v_i & mask) << (i·b) in little-endian order,
+    which is exactly numpy packbits(bitorder='little') of the bit matrix."""
+    n = len(vals)
+    widths = [v.bit_length() for v in vals]
+    kth = n - 1 - int(n * EXCEPTION_FRACTION)
+    b = max(1, sorted(widths)[kth])
+    mask = (1 << b) - 1
+    acc = 0
+    shift = 0
+    for v in vals:
+        acc |= (v & mask) << shift
+        shift += b
+    out = bytearray(_HEADER.pack(b, sum(w > b for w in widths), n))
+    out += acc.to_bytes((n * b + 7) // 8, "little")
+    for i, v in enumerate(vals):
+        if widths[i] > b:
+            out.append(i)
+            _write_varint(v >> b, out)
+    return bytes(out)
+
+
 def encode_stream(values: np.ndarray) -> bytes:
     """Encode one block's worth (n ≤ 255) of non-negative ints → bytes."""
     vals = np.asarray(values, dtype=np.uint64)
@@ -79,14 +126,12 @@ def encode_stream(values: np.ndarray) -> bytes:
         return _HEADER.pack(1, 0, 0)
     if n > 255:
         raise ValueError(f"block too large: {n}")
-    # exact per-value bit width (0 → width 0; b is clamped ≥ 1 below)
-    widths = np.zeros(n, dtype=np.int64)
-    tmp = vals.copy()
-    while tmp.any():
-        widths[tmp > 0] += 1
-        tmp >>= np.uint64(1)
+    if n <= _SMALL_N:
+        return _encode_small([int(v) for v in vals])
+    widths = _bit_widths(vals)
     allowed_exc = int(n * EXCEPTION_FRACTION)
-    b = int(max(1, np.sort(widths)[n - 1 - allowed_exc]))
+    kth = n - 1 - allowed_exc
+    b = int(max(1, np.partition(widths, kth)[kth]))
     payload = _pack_low_bits(vals, b)
     exc_lanes = np.nonzero(widths > b)[0]
     out = bytearray(_HEADER.pack(b, len(exc_lanes), n))
@@ -123,11 +168,27 @@ def encode_posting_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
     doc_deltas, tfs, dls (block_id and block_max_score are assigned by the
     caller, which knows term idf and global ordering — SURVEY.md E9).
     """
+    if not (len(doc_ids) == len(tfs) == len(dls)):
+        raise ValueError("posting stream length mismatch")
+    if 0 < len(doc_ids) <= _SMALL_N:
+        # single small block: stay in plain Python end-to-end (the numpy
+        # conversions below cost more than the whole encode at this size)
+        d = [int(x) for x in doc_ids]
+        t = [int(x) for x in tfs]
+        dl = [int(x) for x in dls]
+        deltas = [0] + [d[i] - d[i - 1] for i in range(1, len(d))]
+        return [{
+            "n_docs": len(d),
+            "first_doc": d[0],
+            "last_doc": d[-1],
+            "block_max_tf": max(t),
+            "doc_deltas": _encode_small(deltas),
+            "tfs": _encode_small(t),
+            "dls": _encode_small(dl),
+        }]
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
-    if not (len(doc_ids) == len(tfs) == len(dls)):
-        raise ValueError("posting stream length mismatch")
     blocks: list[dict] = []
     for start in range(0, len(doc_ids), block_size):
         docs = doc_ids[start:start + block_size]

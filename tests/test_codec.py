@@ -71,3 +71,41 @@ def test_tf_one_everywhere():
         d, t, _ = decode_posting_block(
             blk["first_doc"], blk["doc_deltas"], blk["tfs"], blk["dls"])
         assert (t == 1).all()
+
+
+def test_small_and_numpy_encoders_byte_identical():
+    """The pure-Python small-stream fast path must emit byte-identical
+    output to the vectorized path (the format is pinned; which path ran
+    must be unobservable)."""
+    import elasticsearch_eslib_spark.functions.codec as C
+
+    rng = np.random.default_rng(99)
+    for _ in range(300):
+        n = int(rng.integers(1, C._SMALL_N + 1))
+        vals = rng.integers(
+            0, 1 << int(rng.integers(1, 50)), size=n, dtype=np.uint64)
+        small = C._encode_small([int(v) for v in vals])
+        widths = C._bit_widths(vals)
+        kth = n - 1 - int(n * C.EXCEPTION_FRACTION)
+        b = int(max(1, np.partition(widths, kth)[kth]))
+        exc = np.nonzero(widths > b)[0]
+        out = bytearray(C._HEADER.pack(b, len(exc), n))
+        out += C._pack_low_bits(vals, b)
+        for lane in exc:
+            out.append(int(lane))
+            C._write_varint(int(vals[lane]) >> b, out)
+        assert small == bytes(out)
+        assert (C.decode_stream(small) == vals).all()
+
+
+def test_bit_widths_match_int_bit_length():
+    import elasticsearch_eslib_spark.functions.codec as C
+
+    edge = np.array([0, 1, 2, 3, 7, 8, (1 << 32) - 1, 1 << 32,
+                     (1 << 33) - 1, (1 << 52) + 12345, (1 << 63) + 5,
+                     np.iinfo(np.uint64).max], dtype=np.uint64)
+    rng = np.random.default_rng(3)
+    rand = rng.integers(0, 1 << 63, size=5000, dtype=np.uint64)
+    for vals in (edge, rand):
+        ref = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+        assert (C._bit_widths(vals) == ref).all()
