@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite
         "dedup_exact": _dd.dedup_exact,
         "minhash_signatures": _dd.minhash_signatures,
-        "minhash_lsh_pairs": _dd.minhash_lsh_pairs,   # rows-only (approx)
+        "minhash_lsh_pairs": _dd.minhash_lsh_pairs,
         "simhash": _dd.simhash,
         "simhash_pairs": _dd.simhash_pairs,
         "jaccard_vs_seed": _dd.jaccard_vs_seed,
@@ -227,6 +227,48 @@ def _minhash_sql() -> str:
         for j in range(_dd.N_MINHASH))
     return (f"WITH sh AS ({_SHINGLES}) "
             f"SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id")
+
+
+def _minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
+    """Exact twin of dedup.minhash_lsh_pairs for the no-oversized-bucket
+    case (guaranteed at driver scale: MAX_LSH_BUCKET=1000 > the sf0.01
+    corpus; the degraded star-link path has its own pytest).
+
+    Candidates are docs sharing any band's (sig_2b, sig_2b+1) TUPLE. The
+    Spark plan buckets on xxhash64 of that tuple — identical semantics up
+    to 64-bit hash collisions, which could only ADD candidates, and every
+    candidate must still pass the exact-jaccard filter. Verification is
+    the exact distinct-shingle Jaccard, brute-forced here (oracle scale)."""
+    band_eq = " OR ".join(
+        "(" + " AND ".join(
+            f"a.sig_{b * _dd.LSH_ROWS + r} = b.sig_{b * _dd.LSH_ROWS + r}"
+            for r in range(_dd.LSH_ROWS)) + ")"
+        for b in range(_dd.LSH_BANDS))
+    return f"""
+        WITH sh AS ({_SHINGLES}),
+        sigs AS (SELECT doc_id, {", ".join(
+                     f"min({sql_md5_long_seeded('shingle', j)}) AS sig_{j}"
+                     for j in range(_dd.N_MINHASH))}
+                 FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE {band_eq}),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6)
+               AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6)
+              >= {threshold}"""
 
 
 def _simhash_sql() -> str:
@@ -444,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1""",
+        "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         # rows-only (approximate/LSH paths — no exact SQL semantics):
-        # minhash_lsh_pairs, ann_lsh_topk, embedding_near_dup
+        # ann_lsh_topk, embedding_near_dup
     }
