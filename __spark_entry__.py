@@ -4,9 +4,10 @@
 `queries()` — one entry per implemented operator (SURVEY.md §2.2/§2.3 and
 the training-data-pipeline suite); each (spark, sf_dir) -> DataFrame.
 `oracle_sql()` — exact DuckDB twins (same column names, same rounding,
-same tie-breaks). Ops marked rows-only (approximate LSH paths, streaming)
-intentionally have no SQL twin; their exact baselines are separate checked
-entries (e.g. ann_bruteforce_topk oracles ann_lsh's recall target).
+same tie-breaks) for EVERY query, including the LSH paths: their
+hashes/hyperplanes are pinned deterministic (seeded md5 / literal plane
+vectors), so even the "approximate" operators have exact SQL semantics —
+approximate w.r.t. the underlying similarity, never w.r.t. the spec.
 """
 
 from __future__ import annotations
@@ -144,8 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _ts.fingerprint,
         # similarity / embeddings
         "ann_bruteforce_topk": _sim.ann_bruteforce_topk,
-        "ann_lsh_topk": _sim.ann_lsh_topk,            # rows-only (approx)
-        "embedding_near_dup": _sim.embedding_near_dup,  # rows-only (approx)
+        "ann_lsh_topk": _sim.ann_lsh_topk,
+        "embedding_near_dup": _sim.embedding_near_dup,
         # multimodal plumbing
         "media_features": _media_features_named,
         # events / streaming twins
@@ -269,6 +270,102 @@ def _minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
         JOIN sizes zb ON zb.doc_id = i.doc_b
         WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6)
               >= {threshold}"""
+
+
+def _plane_literal(plane) -> str:
+    """One pinned hyperplane as a DuckDB DOUBLE[] literal (repr round-trips
+    float64 exactly, so both engines see bit-identical plane values)."""
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
+
+
+def _bucket_bits_sql(n_max: int) -> str:
+    """bit_j columns: sign of the dot with pinned hyperplane j. The planes
+    are PREFIX-NESTED (similarity._hyperplanes), so any k ≤ n_max planes
+    use bits 0..k-1 of the same list."""
+    planes = _sim._hyperplanes(n_max)  # noqa: SLF001 — pinned, shared
+    return ", ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{_plane_literal(planes[j])}) > 0 THEN 1 ELSE 0 END AS bit_{j}"
+        for j in range(n_max))
+
+
+_COSINE_AB = ("round(list_dot_product(a.embedding::DOUBLE[], "
+              "b.embedding::DOUBLE[]) "
+              "/ (sqrt(list_dot_product(a.embedding::DOUBLE[], "
+              "a.embedding::DOUBLE[])) "
+              "* sqrt(list_dot_product(b.embedding::DOUBLE[], "
+              "b.embedding::DOUBLE[]))), 6)")
+
+
+def _ann_lsh_sql() -> str:
+    """Exact twin of similarity.ann_lsh_topk: pinned-hyperplane buckets,
+    multi-probe = own bucket plus every hamming-1 bucket, cosine top-10.
+    Deterministic because the planes are pinned literals; the only
+    divergence channel is a plane dot landing within 1 ulp of exactly 0
+    between the two engines' summation — measure-zero, absent at driver
+    scale (verified by the value-hash)."""
+    k = _sim.LSH_PLANES
+    bucket = " + ".join(f"bit_{j} * {1 << (k - 1 - j)}" for j in range(k))
+    probes = ", ".join(f"xor(q_bucket, {1 << j})" for j in range(k))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket
+          FROM (SELECT vec_id, embedding, {_bucket_bits_sql(k)}
+                FROM embeddings)),
+        q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb,
+                     bucket AS q_bucket
+              FROM b WHERE vec_id < {_sim.N_QUERY_VECS}),
+        probes AS (
+          SELECT q_vec_id, q_emb,
+                 unnest([q_bucket, {probes}]) AS probe_bucket
+          FROM q),
+        scored AS (
+          SELECT p.q_vec_id, a.vec_id,
+                 round(list_dot_product(a.embedding::DOUBLE[],
+                                        p.q_emb::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(p.q_emb::DOUBLE[],
+                                                  p.q_emb::DOUBLE[]))), 6)
+                 AS cosine
+          FROM b a JOIN probes p ON a.bucket = p.probe_bucket
+          WHERE a.vec_id <> p.q_vec_id)
+        SELECT q_vec_id,
+               CAST(row_number() OVER (PARTITION BY q_vec_id
+                    ORDER BY cosine DESC, vec_id) AS INT) AS rank,
+               vec_id, cosine
+        FROM scored QUALIFY rank <= {_sim.TOPK}"""
+
+
+_NEAR_DUP_MAX_PLANES_SQL = 12  # literal coverage: valid up to 100·2^12 vecs
+
+
+def _embedding_near_dup_sql(threshold: float = 0.35) -> str:
+    """Exact twin of similarity.embedding_near_dup with the occupancy-scaled
+    plane count computed IN SQL (k = clip(ceil(log2(n/100)), 4, ..)): the
+    prefix-nested planes mean bucket_k is just the first k sign bits.
+    Literal coverage extends to 12 planes (100·2^12 vectors) — far beyond
+    any driver scale; same ulp caveat as _ann_lsh_sql."""
+    m = _NEAR_DUP_MAX_PLANES_SQL
+    bucket = " + ".join(
+        f"(CASE WHEN {j} < k THEN bit_{j} "
+        f"* CAST(power(2, k - 1 - {j}) AS BIGINT) ELSE 0 END)"
+        for j in range(m))
+    return f"""
+        WITH kk AS (
+          SELECT GREATEST({_sim.MIN_NEAR_DUP_PLANES},
+                          LEAST({m}, CEIL(LOG2(count(*) /
+                              {float(_sim.TARGET_BUCKET_OCCUPANCY)}))))::INT
+                 AS k
+          FROM embeddings),
+        bits AS (SELECT vec_id, embedding, {_bucket_bits_sql(m)}
+                 FROM embeddings),
+        bk AS (SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket
+               FROM bits CROSS JOIN kk)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_COSINE_AB} AS cosine
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COSINE_AB} >= {threshold}"""
 
 
 def _simhash_sql() -> str:
@@ -487,6 +584,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1""",
         "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
-        # rows-only (approximate/LSH paths — no exact SQL semantics):
-        # ann_lsh_topk, embedding_near_dup
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
     }
