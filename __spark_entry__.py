@@ -58,7 +58,8 @@ def _bm25_wand_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order == doc_id order), lang='xx' (no stopword removal → analyzer
     # output == whitespace tokens on this pre-tokenized corpus)
     fp = fingerprint_path(docs_path)
-    work = os.path.join(tempfile.gettempdir(), f"eslib_idx_{fp}")
+    # v2: postings carry idf-free raw bounds (appendable-index format)
+    work = os.path.join(tempfile.gettempdir(), f"eslib_idx_v2_{fp}")
     pages_path = os.path.join(work, "pages")
     index_dir = os.path.join(work, "index")
     if not os.path.exists(os.path.join(index_dir, "_manifest.json")):
@@ -81,7 +82,8 @@ def _bm25_wand_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, q, _ft.TOPK_K + buf) for qid, q in _ft.FULLTEXT_QUERIES
          if qid != 6],  # q6 is all-English-stopwords: dropped by the query
         "query_id long, query string, k int")  # analyzer (lang='en'), by design
-    wand = topk_wand(queries, idx.terms, idx.postings, idx.n_docs, idx.avg_dl)
+    wand = topk_wand(queries, idx.terms, idx.postings, idx.n_docs,
+                     idx.avg_dl, bound_avgdl=idx.bound_avgdl)
     # boundary-tie guard: any absent doc scores ≤ the weakest fetched raw
     # score, so if round(k-th) > round(weakest) (or the candidate set is
     # exhausted), no absent doc can displace the rounded top-k. assert_true

@@ -65,7 +65,8 @@ def main() -> None:
         [(qid, q, TOPK_K) for qid, q in FULLTEXT_QUERIES],
         "query_id long, query string, k int")
     timed("q2_wand_serve", lambda: topk_wand(
-        queries, idx.terms, idx.postings, idx.n_docs, idx.avg_dl).count())
+        queries, idx.terms, idx.postings, idx.n_docs, idx.avg_dl,
+        bound_avgdl=idx.bound_avgdl).count())
 
     # q3+: driver-contract operators (the correctness-gated surface)
     qs = entrymod.queries()

@@ -87,7 +87,10 @@ def _gen_chunk(args) -> None:
 def ensure_index(spark, corpus: str, n_docs: int) -> str:
     from elasticsearch_eslib_spark.plans.build_index import build_index
 
-    index_dir = os.path.join(REPO, "BENCH", ".fixtures", f"index_{n_docs}")
+    # v2 suffix: postings carry idf-free raw bounds since round 3 — a
+    # cached v1 index would still answer correctly (the bound only grows)
+    # but wouldn't measure the current engine
+    index_dir = os.path.join(REPO, "BENCH", ".fixtures", f"index_{n_docs}_v2")
     manifest = os.path.join(index_dir, "_manifest.json")
     done = False
     if os.path.exists(manifest):

@@ -3,6 +3,9 @@
 
     spark-submit --py-files dist/elasticsearch_eslib_spark.zip \
         build_index.py --input <pages parquet> --index <dir> [--resume]
+    # incremental: append a NEW batch of pages as an epoch (exactly-once
+    # per batch; existing blocks untouched — plans/append_index.py)
+    build_index.py --input <delta parquet> --index <dir> --append
 
 (BASELINE.json north_rule: run via spark-submit --py-files; locally the
 script also runs under plain `python` — get_spark handles the session.)
@@ -24,17 +27,25 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="index output dir")
     ap.add_argument("--resume", action="store_true",
                     help="resume from committed checkpoints/lineage")
+    ap.add_argument("--append", action="store_true",
+                    help="append --input as a new epoch to an EXISTING index")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--commit-groups", type=int, default=2)
     args = ap.parse_args()
 
     from elasticsearch_eslib_spark.config import get_spark
-    from elasticsearch_eslib_spark.plans.build_index import build_index
 
     spark = get_spark("eslib-build-index")
-    metrics = build_index(spark, args.input, args.index, resume=args.resume,
-                          n_buckets=args.buckets,
-                          n_commit_groups=args.commit_groups)
+    if args.append:
+        from elasticsearch_eslib_spark.plans.append_index import append_index
+
+        metrics = append_index(spark, args.input, args.index)
+    else:
+        from elasticsearch_eslib_spark.plans.build_index import build_index
+
+        metrics = build_index(spark, args.input, args.index,
+                              resume=args.resume, n_buckets=args.buckets,
+                              n_commit_groups=args.commit_groups)
     print(json.dumps(metrics))
 
 

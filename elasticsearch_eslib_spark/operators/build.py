@@ -198,7 +198,7 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
     k1, b = BM25_K1, BM25_B
 
     block_schema = ("term_id long, first_doc long, last_doc long, "
-                    "n_docs int, block_max_tf int, block_max_score double, "
+                    "n_docs int, block_max_tf int, block_max_raw double, "
                     "doc_deltas binary, tfs binary, dls binary")
 
     from elasticsearch_eslib_spark.config import BLOCK_SIZE as _BS
@@ -212,14 +212,16 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
         out: list[dict] = []
 
         def flush(term_id, docs_a, tfs_a, dls_a):
-            # idf-free score: multiplied by the term's idf afterwards on
-            # the 128×-smaller block rows (keeps df out of the big shuffle)
+            # idf-FREE raw bound (schemas.POSTINGS block_max_raw): the
+            # query path applies the CURRENT idf and the avgdl-drift
+            # factor — keeps df out of the big shuffle entirely, and lets
+            # incremental appends leave existing blocks untouched
             scores = (tfs_a * (k1 + 1.0)) / (
                 tfs_a + k1 * (1.0 - b + b * dls_a / avg_dl))
             for blk_i, blk in enumerate(
                     encode_posting_blocks(docs_a, tfs_a, dls_a)):
                 lo = blk_i * _BS
-                blk["block_max_score"] = float(scores[lo:lo + blk["n_docs"]].max())
+                blk["block_max_raw"] = float(scores[lo:lo + blk["n_docs"]].max())
                 blk["term_id"] = term_id
                 out.append(blk)
 
@@ -256,15 +258,10 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
             yield pd.DataFrame(out)
 
     blocks = arranged.mapInPandas(_encode_groups, schema=block_schema)
+    # no idf here: block_max_raw ships idf-free (the round-2 layout joined
+    # terms back onto the block rows just to bake idf in — one whole
+    # broadcast join of the block stream gone, and appends become possible)
     w = Window.partitionBy("term_id").orderBy("first_doc")
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)
-    # (1 + 1e-12): block_max_score is a WAND skipping bound and must stay an
-    # upper bound even if the JVM's ln() differs from the query path's libm
-    # ln() in the last ulp
     return (blocks
-            .join(terms.select("term_id", "df"), "term_id")
-            .withColumn("block_max_score",
-                        F.col("block_max_score") * idf * (1.0 + 1e-12))
             .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
             .select([f.name for f in schemas.POSTINGS.fields]))

@@ -309,7 +309,8 @@ def _wand_one_query(cursors: list[_TermCursor], k: int) -> list[tuple[int, float
 
 def topk_wand(queries: DataFrame, terms: DataFrame, postings: DataFrame,
               n_docs: int, avg_dl: float,
-              n_ranges: int | None = None) -> DataFrame:
+              n_ranges: int | None = None,
+              bound_avgdl: float | None = None) -> DataFrame:
     """Q4: block-max WAND, range-partitioned.
 
     A single WAND task per query would hold EVERY posting block of every
@@ -324,11 +325,22 @@ def topk_wand(queries: DataFrame, terms: DataFrame, postings: DataFrame,
     scores are bit-identical to the single-task path."""
     resolved = resolve_query_terms(analyze_queries(queries), terms, n_docs)
     blocks = fetch_postings(postings, resolved)
-    grouped = blocks.join(
+    # WAND skipping bound, derived from per-block metadata at query time:
+    #   block_max_raw · idf(N_now, df_now) · drift · (1 + 1e-12)
+    # where drift = max(1, avgdl_now / bound_avgdl) compensates avgdl
+    # movement since the block was encoded (raw grows monotonically as
+    # avgdl grows — the ratio bounds it; see schemas.POSTINGS). The 1e-12
+    # absorbs last-ulp ln() differences between JVM and libm. For a
+    # single-epoch index bound_avgdl == avg_dl and this reduces to the
+    # exact per-block max.
+    avg_dl_f = float(avg_dl)
+    drift = max(1.0, avg_dl_f / float(bound_avgdl or avg_dl))
+    grouped = (blocks.join(
         F.broadcast(resolved.select("query_id", "k", "term_id", "idf")),
         "term_id")
-
-    avg_dl_f = float(avg_dl)
+        .withColumn("block_max_score",
+                    F.col("block_max_raw") * F.col("idf")
+                    * F.lit(drift * (1.0 + 1e-12))))
     if n_ranges is None:
         n_ranges = min(WAND_MAX_RANGES, n_docs // WAND_RANGE_MIN_DOCS)
         slots = queries.sparkSession.sparkContext.defaultParallelism

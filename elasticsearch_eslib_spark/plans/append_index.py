@@ -1,0 +1,213 @@
+"""Incremental index append (SURVEY.md §2.1 rows 1-2 parity: the reference's
+flagship pipelines streamed documents INTO a live Elasticsearch index — an
+engine a reference user switches to needs continuous indexing, not only
+one-shot builds).
+
+`append_index(spark, new_pages, index_dir)` adds a batch of NEW documents
+to an existing index without touching any committed block:
+
+  A1 tokenized_a{e}   extract+analyze+tf for the delta batch
+  A2 docs_a{e}        dense doc ids continuing after the existing max id
+                      (url order within the batch — deterministic)
+  A3 terms_a{e}       the COMPLETE merged vocabulary: existing terms keep
+                      their term_id (stability is what makes old postings
+                      valid forever), df/cf updated; new terms get ids
+                      after the existing max, dense by term order
+  A4 postings_a{e}    delta postings only, salted/encoded exactly like a
+                      build, block_ids continuing per term; raw (idf-free)
+                      block bounds under the POST-append avgdl
+  stats_a{e}          n_docs/avg_dl totals + bound_avgdl = min over epochs
+                      of the avgdl blocks were encoded under — commits the
+                      epoch (Index ignores epochs without this stage)
+
+Why existing blocks never need rewriting: block bounds are stored idf-free
+(schemas.POSTINGS `block_max_raw`) and the query path derives the WAND
+bound as raw · idf(N_now, df_now) · max(1, avgdl_now / bound_avgdl). The
+drift factor is a valid upper bound in both directions of avgdl movement:
+for f(tf,dl) = tf(k1+1)/(tf + k1(1-b) + k1·b·dl/avgdl),
+f(avgdl_new)/f(avgdl_old) ≤ max(1, avgdl_new/avgdl_old) for every (tf,dl),
+so metadata-only stats updates keep block skipping sound at any number of
+appends — the 10^12-doc requirement (rewriting per-term metadata for every
+epoch would be a full-index pass per batch).
+
+Each stage is a committed TableIO snapshot in a fingerprint chain seeded
+by (batch fingerprint : previous postings snapshot): a crashed append
+resumes at stage granularity, an uncommitted epoch is invisible, and
+re-submitting the SAME batch after a successful commit is a no-op
+(exactly-once append, mirroring the epoch-idempotent streaming sink).
+
+Scale note (deliberate): terms_a{e} rewrites the vocabulary table per
+epoch. Vocabulary is sublinear in corpus size (≈10^8 rows at 10^12 docs)
+— a bounded, partition-parallel rewrite — while docs/postings, the
+corpus-sized tables, are strictly append-only.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_eslib_spark.operators.build import (
+    TOKENS_PER_ENCODE_TASK, assign_doc_ids, build_postings,
+    extract_analyze_tf, term_freqs,
+)
+from elasticsearch_eslib_spark.operators.ids import (
+    assign_dense_ids, unpersist_ids,
+)
+from elasticsearch_eslib_spark.operators.query import N_POSTING_BUCKETS
+from elasticsearch_eslib_spark.plans.build_index import committed_epochs
+from elasticsearch_eslib_spark.sources.tableio import (
+    fingerprint_path, open_tableio,
+)
+
+
+def append_index(spark: SparkSession, pages_path: str,
+                 index_dir: str) -> dict:
+    """Append the batch at `pages_path` as a new epoch; returns metrics.
+
+    Idempotent per batch: if the latest committed epoch already ingested a
+    batch with this fingerprint, the call is a no-op (metrics carry
+    ``skipped=True``)."""
+    t_start = time.time()
+    io = open_tableio(spark, index_dir)
+    epochs = committed_epochs(io)
+    fp_batch = fingerprint_path(pages_path)
+
+    last_stats = f"stats_a{epochs[-1]}" if epochs else "stats"
+    if epochs and io.stage_metrics(
+            f"stats_a{epochs[-1]}").get("batch_fingerprint") == fp_batch:
+        return {"skipped": True, "epoch": epochs[-1],
+                "wall_sec": time.time() - t_start}
+
+    e = len(epochs) + 1
+    sfx = f"_a{e}"
+    prev_postings = f"postings_a{epochs[-1]}" if epochs else "postings"
+    prev_terms = f"terms_a{epochs[-1]}" if epochs else "terms"
+    prev = io.read(last_stats).collect()[0]
+    n_prev = int(prev["n_docs"])
+    avgdl_prev = float(prev["avg_dl"])
+    bound_prev = (float(prev["bound_avgdl"])
+                  if "bound_avgdl" in prev.__fields__ else avgdl_prev)
+    # epoch chain: same batch against a different index state is a new epoch
+    fp = fp_batch + ":" + io.stage_snapshot(prev_postings)
+    metrics: dict = {"epoch": e, "batch_fingerprint": fp_batch}
+
+    # ------------------------------------------------------------- A1
+    st1 = f"tokenized{sfx}"
+    if not io.is_done(st1, fp):
+        pages = spark.read.parquet(pages_path)
+        io.commit_stage(st1, st1, extract_analyze_tf(pages), fp)
+    tokenized = io.read(st1)
+
+    # ------------------------------------------------------------- A2
+    # ids continue after the existing MAX id (ids cover rejects too, so
+    # this is max(doc_id), not stats.n_docs) — one narrow-column agg
+    st2 = f"docs{sfx}"
+    s2_fp = fp + ":" + io.stage_snapshot(st1)
+    from functools import reduce
+
+    prior_docs = reduce(DataFrame.unionByName, [
+        io.read(f"docs{s}")
+        for s in [""] + [f"_a{x}" for x in epochs]])
+    if not io.is_done(st2, s2_fp):
+        base_id = int(prior_docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+        delta = assign_doc_ids(tokenized)
+        sums = delta._dense_ids_sums  # noqa: SLF001
+        n_new = int(sums["__ok"])
+        dl_new = int(sums["__dl_pos"])
+        shifted = delta.withColumn("doc_id", F.col("doc_id") + base_id)
+        io.commit_stage(st2, st2, shifted, s2_fp,
+                        metrics={"n_new": n_new, "dl_new": dl_new,
+                                 "base_id": base_id})
+        unpersist_ids(delta)
+    m2 = io.stage_metrics(st2)
+    n_new, dl_new = int(m2["n_new"]), int(m2["dl_new"])
+    docs_delta = io.read(st2)
+    n_tot = n_prev + n_new
+    avgdl_tot = ((avgdl_prev * n_prev + dl_new) / n_tot) if n_tot else 0.0
+
+    tf_delta = term_freqs(tokenized, docs_delta)
+
+    # ------------------------------------------------------------- A3
+    st3 = f"terms{sfx}"
+    s3_fp = s2_fp + ":" + io.stage_snapshot(st2)
+    if not io.is_done(st3, s3_fp):
+        old = io.read(prev_terms)
+        vocab_d = tf_delta.groupBy("term").agg(
+            F.count("*").alias("df_d"), F.sum("tf").alias("cf_d"))
+        max_tid = int(old.agg(F.max("term_id")).collect()[0][0] or 0)
+        merged_known = (old.join(vocab_d, "term", "left")
+                        .select("term_id", "term",
+                                (F.col("df")
+                                 + F.coalesce("df_d", F.lit(0))).alias("df"),
+                                (F.col("cf")
+                                 + F.coalesce("cf_d", F.lit(0))).alias("cf")))
+        fresh = (vocab_d.join(old.select("term"), "term", "left_anti")
+                 .select("term", F.col("df_d").alias("df"),
+                         F.col("cf_d").alias("cf")))
+        fresh_with = assign_dense_ids(fresh, "term", "term_id")
+        fresh_ids = (fresh_with
+                     .withColumn("term_id", F.col("term_id") + max_tid)
+                     .select("term_id", "term", "df", "cf"))
+        io.commit_stage(st3, st3, merged_known.unionByName(fresh_ids), s3_fp)
+        unpersist_ids(fresh_with)
+    terms_merged = io.read(st3)
+
+    # ------------------------------------------------------------- A4
+    st4 = f"postings{sfx}"
+    s4_fp = s3_fp + ":" + io.stage_snapshot(st3)
+    if not io.is_done(st4, s4_fp):
+        n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = max(n_conf, (dl_new + TOKENS_PER_ENCODE_TASK - 1)
+                     // TOKENS_PER_ENCODE_TASK)
+        delta_posts = build_postings(
+            tf_delta, terms_merged, docs_delta, n_tot, avgdl_tot,
+            num_partitions=n_part)
+        # continue block ids after each term's existing blocks — a scan of
+        # prior block METADATA only (128× smaller than postings, binary
+        # columns pruned)
+        prior_posts = reduce(DataFrame.unionByName, [
+            io.read(f"postings{s}").select("term_id", "block_id")
+            for s in [""] + [f"_a{x}" for x in epochs]])
+        offs = prior_posts.groupBy("term_id").agg(
+            (F.max("block_id") + 1).alias("__off"))
+        delta_posts = (delta_posts.join(offs, "term_id", "left")
+                       .withColumn("block_id",
+                                   (F.col("block_id")
+                                    + F.coalesce("__off", F.lit(0)))
+                                   .cast("int"))
+                       .drop("__off"))
+        io.commit_stage(
+            st4, st4,
+            delta_posts.withColumn(
+                "p_bucket",
+                F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
+            .repartition(N_POSTING_BUCKETS, "p_bucket"),
+            s4_fp, partition_by=["p_bucket"])
+
+    # ------------------------------------------------------- stats (commit)
+    st5 = f"stats{sfx}"
+    s5_fp = s4_fp + ":" + io.stage_snapshot(st4)
+    if not io.is_done(st5, s5_fp):
+        import datetime as _dt
+        import uuid as _uuid
+
+        snapshot = _uuid.uuid4().hex[:26]
+        bound = min(bound_prev, avgdl_tot) if n_tot else avgdl_tot
+        io.commit_stage(
+            st5, st5,
+            spark.createDataFrame(
+                [(n_tot, avgdl_tot, bound,
+                  _dt.datetime.now(_dt.timezone.utc), snapshot)],
+                "n_docs long, avg_dl double, bound_avgdl double, "
+                "built_at timestamp, snapshot string"),
+            s5_fp, snapshot=snapshot,
+            metrics={"batch_fingerprint": fp_batch, "n_new": n_new,
+                     "n_docs": n_tot, "avg_dl": avgdl_tot})
+
+    metrics.update({"n_new": n_new, "n_docs": n_tot, "avg_dl": avgdl_tot,
+                    "wall_sec": time.time() - t_start})
+    metrics["docs_per_sec"] = (n_new / metrics["wall_sec"]
+                               if metrics["wall_sec"] else 0.0)
+    return metrics

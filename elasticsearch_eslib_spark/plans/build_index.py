@@ -215,8 +215,10 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
 
         snapshot = _uuid2.uuid4().hex[:26]
         io.write_table("stats", spark.createDataFrame(
-            [(n_docs, avg_dl, _dt.datetime.now(_dt.timezone.utc), snapshot)],
-            "n_docs long, avg_dl double, built_at timestamp, snapshot string"))
+            [(n_docs, avg_dl, avg_dl,
+              _dt.datetime.now(_dt.timezone.utc), snapshot)],
+            "n_docs long, avg_dl double, bound_avgdl double, "
+            "built_at timestamp, snapshot string"))
         io.commit_stage("postings", "postings", None, s4_fp,
                         snapshot=snapshot,
                         metrics={"n_docs": n_docs, "avg_dl": avg_dl,
@@ -231,14 +233,52 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
 
 
 class Index:
-    """Loaded index handle for the query path."""
+    """Loaded index handle for the query path.
+
+    Incremental appends (plans/append_index.py) add per-epoch docs/postings
+    tables and a rewritten terms/stats; the handle presents the UNION so
+    the query path is epoch-oblivious."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from functools import reduce
+
         io = open_tableio(spark, index_dir)
-        self.docs = io.read("docs")
-        self.terms = io.read("terms")
-        self.postings = io.read("postings")
-        row = io.read("stats").collect()[0]
+        epochs = committed_epochs(io)
+        suffixes = [""] + [f"_a{e}" for e in epochs]
+        self.docs = reduce(DataFrame.unionByName,
+                           [io.read(f"docs{s}") for s in suffixes])
+        self.terms = io.read(f"terms_a{epochs[-1]}" if epochs else "terms")
+        self.postings = reduce(DataFrame.unionByName,
+                               [io.read(f"postings{s}") for s in suffixes])
+        row = io.read(f"stats_a{epochs[-1]}" if epochs else "stats").collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avg_dl = float(row["avg_dl"])
+        # pre-append-era stats tables lack the column: a single-epoch index
+        # has bound_avgdl == avg_dl by construction
+        self.bound_avgdl = (float(row["bound_avgdl"])
+                            if "bound_avgdl" in row.__fields__
+                            else self.avg_dl)
         self.io = io
+
+
+def _stage_done_any_fp(io, stage: str) -> bool:
+    """Stage committed under ANY fingerprint (TableIO-impl agnostic)."""
+    man = getattr(io, "manifest", None)
+    if man is not None:
+        return man["stages"].get(stage, {}).get("status") == "done"
+    try:
+        return bool(io.stage_snapshot(stage))
+    except Exception:
+        return False
+
+
+def committed_epochs(io) -> list[int]:
+    """Contiguous committed append epochs: epoch e counts only when its
+    FINAL stage (stats_a{e}) is done — a crashed append leaves no visible
+    epoch and is resumed or ignored."""
+    out: list[int] = []
+    e = 1
+    while _stage_done_any_fp(io, f"stats_a{e}"):
+        out.append(e)
+        e += 1
+    return out

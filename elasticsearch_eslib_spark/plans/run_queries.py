@@ -15,5 +15,8 @@ from elasticsearch_eslib_spark.plans.build_index import Index
 def run_queries(spark: SparkSession, index_dir: str, queries: DataFrame,
                 path: str = "wand") -> DataFrame:
     idx = Index(spark, index_dir)
-    fn = topk_wand if path == "wand" else topk_exhaustive
-    return fn(queries, idx.terms, idx.postings, idx.n_docs, idx.avg_dl)
+    if path == "wand":
+        return topk_wand(queries, idx.terms, idx.postings, idx.n_docs,
+                         idx.avg_dl, bound_avgdl=idx.bound_avgdl)
+    return topk_exhaustive(queries, idx.terms, idx.postings, idx.n_docs,
+                           idx.avg_dl)

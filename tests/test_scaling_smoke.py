@@ -22,7 +22,7 @@ def _index_fingerprint(spark, index_dir):
         d, t, l = decode_posting_block(r["first_doc"], r["doc_deltas"],
                                        r["tfs"], r["dls"])
         postings.append((r["term_id"], r["block_id"], tuple(d), tuple(t),
-                         tuple(l), round(r["block_max_score"], 9)))
+                         tuple(l), round(r["block_max_raw"], 9)))
     return docs, terms, sorted(postings)
 
 
