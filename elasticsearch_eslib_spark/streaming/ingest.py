@@ -194,3 +194,45 @@ def stream_socket_pages_ingest(spark: SparkSession, host: str, port: int,
     pages = socket_pages_stream(spark, host, port)
     return (pages.writeStream.foreachBatch(epoch_idempotent_sink(out_dir))
             .option("checkpointLocation", checkpoint_dir))
+
+
+def index_append_sink(index_dir: str, stage_root: str):
+    """foreachBatch sink maintaining a LIVE index: each epoch's pages are
+    staged to an epoch=<id> dir (overwrite — idempotent under epoch
+    redelivery) and appended to the index as one committed epoch
+    (plans/append_index.py). Exactly-once end-to-end with a replayable
+    source: a redelivered epoch rewrites the same staged batch bytes, and
+    append_index's batch-fingerprint guard turns the duplicate submit into
+    a no-op. Epochs run sequentially in the stream thread — append is
+    single-writer by construction. Empty epochs are skipped."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from elasticsearch_eslib_spark.plans.append_index import append_index
+
+        staged = batch_df.dropDuplicates(["url"])
+        if staged.isEmpty():
+            return
+        stage = os.path.join(stage_root, f"epoch={epoch_id}")
+        staged.write.mode("overwrite").parquet(stage)
+        append_index(batch_df.sparkSession, stage, index_dir)
+
+    return _sink
+
+
+def stream_index_append(spark: SparkSession, pages_glob: str,
+                        index_dir: str, stage_root: str,
+                        checkpoint_dir: str, max_files_per_trigger: int = 1):
+    """The reference's FLAGSHIP shape end-to-end: an unbounded document
+    stream maintains a live, queryable index (eslib: Monitor → HtmlRemover
+    → ElasticsearchWriter; here: file/Kafka/socket stream → E1/E2 → epochal
+    index append). Every epoch leaves the index in a committed, queryable
+    state — readers never see a partial epoch."""
+    from elasticsearch_eslib_spark import schemas
+
+    pages = (spark.readStream.schema(schemas.PAGES)
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .parquet(pages_glob))
+    return (pages.writeStream
+            .foreachBatch(index_append_sink(index_dir, stage_root))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -157,3 +157,72 @@ def test_kafka_shaped_ingest_roundtrip(spark, pages_parquet, tmp_path):
     q2 = stream_kafka_pages_ingest(spark, records_dir, out, ckpt).start()
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_stream_index_append_builds_live_index(spark, tmp_path):
+    """Flagship end-to-end: a pages stream (2 epochs) maintains a LIVE
+    index whose answers equal a cold batch build over everything, and a
+    checkpoint restart appends nothing twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_eslib_spark.fixtures import gen_pages_range, gen_queries
+    from elasticsearch_eslib_spark.plans.build_index import (
+        Index, build_index, committed_epochs,
+    )
+    from elasticsearch_eslib_spark.plans.run_queries import run_queries
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+    from elasticsearch_eslib_spark.streaming.ingest import stream_index_append
+
+    schema = pa.schema([
+        pa.field("url", pa.string(), False),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC"), False),
+        pa.field("html", pa.binary(), False),
+        pa.field("text", pa.string(), True),
+        pa.field("lang", pa.string(), False),
+    ])
+
+    def write(path, lo, hi):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(
+            gen_pages_range(lo, hi), schema=schema, preserve_index=False),
+            path, row_group_size=2_000)
+
+    base = str(tmp_path / "base" / "pages.parquet")
+    write(base, 0, 300)
+    stream_dir = str(tmp_path / "stream")
+    write(os.path.join(stream_dir, "b1.parquet"), 300, 420)
+    write(os.path.join(stream_dir, "b2.parquet"), 420, 520)
+    full = str(tmp_path / "full" / "pages.parquet")
+    write(full, 0, 520)
+
+    live = str(tmp_path / "live_idx")
+    build_index(spark, base, live)
+    q = stream_index_append(spark, stream_dir, live,
+                            str(tmp_path / "stage"),
+                            str(tmp_path / "ckpt")).start()
+    q.awaitTermination()
+
+    idx = Index(spark, live)
+    assert idx.n_docs == 520
+    assert committed_epochs(open_tableio(spark, live)) == [1, 2]
+
+    cold = str(tmp_path / "cold_idx")
+    build_index(spark, full, cold)
+
+    def url_scores(d):
+        res = run_queries(spark, d, spark.createDataFrame(gen_queries()),
+                          path="wand")
+        docs = Index(spark, d).docs.select("doc_id", "url")
+        return {(r["query_id"], r["url"], round(r["score"], 6))
+                for r in res.join(docs, "doc_id").collect()}
+
+    assert url_scores(live) == url_scores(cold)
+
+    # restart on the same checkpoint: nothing new → no third epoch
+    q2 = stream_index_append(spark, stream_dir, live,
+                             str(tmp_path / "stage"),
+                             str(tmp_path / "ckpt")).start()
+    q2.awaitTermination()
+    assert committed_epochs(open_tableio(spark, live)) == [1, 2]
+    assert Index(spark, live).n_docs == 520
