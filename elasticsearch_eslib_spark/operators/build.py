@@ -160,7 +160,31 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
     so no task ever holds more than ~df_max/n_salts postings; block ids come
     from a window over block rows (cheap: 128× fewer rows than postings).
     """
-    spark = tf.sparkSession
+    salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
+
+    # the big shuffle carries only (term_id, doc_id, tf, dl, salt) — idf is
+    # never needed (raw bounds), and df exists here only transiently to
+    # derive the salt
+    enriched = (
+        tf.join(terms.select("term", "term_id", "df"), "term")
+          .join(docs.select("doc_id", "doc_len"), "doc_id")
+          .select(
+              "term_id", "doc_id",
+              F.col("tf").cast("int").alias("tf"),
+              F.col("doc_len").cast("int").alias("dl"),
+              F.when(F.col("df") > head_df_threshold,
+                     (F.col("doc_id") / salt_width).cast("int"))
+               .otherwise(F.lit(0)).alias("salt"))
+    )
+    return encode_enriched(enriched, n_docs, avg_dl, num_partitions)
+
+
+def encode_enriched(enriched: DataFrame, n_docs: int, avg_dl: float,
+                    num_partitions: int | None = None) -> DataFrame:
+    """E8+E9 over pre-enriched (term_id, doc_id, tf, dl, salt) rows —
+    shared by the build path and compaction (plans/compact_index.py),
+    which re-encodes decoded postings without a terms/docs join."""
+    spark = enriched.sparkSession
     if num_partitions is None:
         # size the encode shuffle by DATA VOLUME, not core count: Σ doc_len
         # (= n_docs · avg_dl, already known from S2) upper-bounds the tf
@@ -174,22 +198,6 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
             n_conf, (est_tokens + TOKENS_PER_ENCODE_TASK - 1)
             // TOKENS_PER_ENCODE_TASK)
     n_part = num_partitions
-    salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
-
-    # the big shuffle carries only (term_id, doc_id, tf, dl, salt) — idf is
-    # applied to the 128×-smaller block rows afterwards, and df exists here
-    # only transiently to derive the salt
-    enriched = (
-        tf.join(terms.select("term", "term_id", "df"), "term")
-          .join(docs.select("doc_id", "doc_len"), "doc_id")
-          .select(
-              "term_id", "doc_id",
-              F.col("tf").cast("int").alias("tf"),
-              F.col("doc_len").cast("int").alias("dl"),
-              F.when(F.col("df") > head_df_threshold,
-                     (F.col("doc_id") / salt_width).cast("int"))
-               .otherwise(F.lit(0)).alias("salt"))
-    )
     arranged = (enriched
                 .repartition(n_part, "term_id", "salt")
                 .sortWithinPartitions("term_id", "salt", "doc_id"))

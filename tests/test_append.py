@@ -167,3 +167,53 @@ def test_bound_valid_under_avgdl_drift(spark, tmp_path, direction):
     exh = topk_exhaustive(qdf, idx.terms, idx.postings, idx.n_docs,
                           idx.avg_dl).collect()
     assert key(wand) == key(exh) and len(wand) > 0
+
+
+def test_compact_restores_cold_build_shape(spark, corpora, appended_index,
+                                           tmp_path_factory):
+    """Compaction of the (multi-epoch) appended index: identical query
+    answers with PRESERVED doc ids, single-epoch layout, tight bounds
+    (bound_avgdl == avg_dl), per-term dense block ids with full blocks
+    except tails, and future appends continue on the compacted dir."""
+    from elasticsearch_eslib_spark.plans.compact_index import compact_index
+    from elasticsearch_eslib_spark.plans.build_index import committed_epochs
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    dst = str(tmp_path_factory.mktemp("compacted") / "idx")
+    before_w = _url_scores(spark, appended_index, "wand")
+    compact_index(spark, appended_index, dst)
+
+    assert committed_epochs(open_tableio(spark, dst)) == []
+    idx = Index(spark, dst)
+    assert idx.bound_avgdl == idx.avg_dl
+    # identical answers, including doc_id preservation
+    src_res = run_queries(spark, appended_index,
+                          spark.createDataFrame(gen_queries()),
+                          path="wand").collect()
+    dst_res = run_queries(spark, dst, spark.createDataFrame(gen_queries()),
+                          path="wand").collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rs)
+    assert key(src_res) == key(dst_res) and len(dst_res) > 0
+    assert _url_scores(spark, dst, "wand") == before_w
+    assert _url_scores(spark, dst, "exhaustive") == before_w
+    # layout: dense per-term block ids, every block but the last full
+    from collections import defaultdict
+
+    per_term = defaultdict(list)
+    for r in idx.postings.collect():
+        per_term[r["term_id"]].append(r)
+    for blocks in per_term.values():
+        blocks.sort(key=lambda r: r["block_id"])
+        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+    # a further append lands on the compacted dir as epoch 1
+    from elasticsearch_eslib_spark.plans.append_index import append_index
+
+    extra = _write_range(
+        str(tmp_path_factory.mktemp("after_compact") / "pages.parquet"),
+        5000, 5100)
+    m = append_index(spark, extra, dst)
+    assert m["epoch"] == 1
+    assert (_url_scores(spark, dst, "wand")
+            == _url_scores(spark, dst, "exhaustive"))
