@@ -1,0 +1,128 @@
+"""Physical-plan shape assertions — the scale properties the code comments
+claim, checked against what Catalyst actually planned:
+
+  * query-time postings scan is PRUNED (p_bucket partition filters +
+    term_id pushed filters reach the parquet scan);
+  * the query-path term lookup is a BROADCAST join (no shuffle of the
+    postings stream to resolve a handful of terms);
+  * the S4 encode shuffle carries ONLY the five narrow posting columns
+    (term_id, doc_id, tf, dl, salt) — never text/html/arrays;
+  * zero-shuffle dedup projections really are exchange-free (minhash
+    signatures);
+  * ANN brute force broadcasts the query side.
+
+These catch silent plan regressions (a lost broadcast hint, a filter
+that stopped pushing down) that row-level tests can't see.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fmt(df) -> str:
+    # public API fallback: capture explain("formatted") text
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_postings_fetch_is_pruned(spark, built_index):
+    from elasticsearch_eslib_spark.operators.query import fetch_postings
+    from elasticsearch_eslib_spark.plans.build_index import Index
+
+    index_dir, _ = built_index
+    idx = Index(spark, index_dir)
+    # two REAL vocabulary terms (nonexistent ones constant-fold the whole
+    # scan away to an empty LocalTableScan)
+    two = idx.terms.orderBy("term_id").limit(2).select("term_id")
+    plan = _fmt(fetch_postings(idx.postings, two))
+    assert re.search(r"PartitionFilters: \[.*p_bucket", plan), plan
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term_id", plan), plan
+
+
+def test_query_term_lookup_is_broadcast(spark, built_index):
+    from elasticsearch_eslib_spark.fixtures import gen_queries
+    from elasticsearch_eslib_spark.operators.query import (
+        analyze_queries, resolve_query_terms,
+    )
+    from elasticsearch_eslib_spark.plans.build_index import Index
+
+    index_dir, _ = built_index
+    idx = Index(spark, index_dir)
+    qdf = spark.createDataFrame(gen_queries())
+    plan = _fmt(resolve_query_terms(analyze_queries(qdf), idx.terms,
+                                    idx.n_docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_encode_shuffle_is_narrow(spark, built_index):
+    """The one corpus-sized shuffle of S4 must carry exactly the five
+    narrow columns — a regression that drags text/arrays through it would
+    multiply shuffle bytes at 100 TB."""
+    from elasticsearch_eslib_spark.operators.build import term_freqs
+    from elasticsearch_eslib_spark.plans.build_index import Index
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    index_dir, _ = built_index
+    idx = Index(spark, index_dir)
+    io = open_tableio(spark, index_dir)
+    tokenized = io.read("tokenized")
+    from elasticsearch_eslib_spark.operators.build import build_postings
+
+    posts = build_postings(term_freqs(tokenized, idx.docs), idx.terms,
+                           idx.docs, idx.n_docs, idx.avg_dl)
+    plan = _fmt(posts)
+    # the encode repartition keys on (term_id, salt)
+    assert re.search(r"hashpartitioning\(term_id#\d+L, salt#\d+", plan), plan
+    # its input projection is exactly the five narrow columns — no arrays
+    # (terms#/tfs# from tokenized), no text, no url
+    narrow = [p for p in re.findall(r"Output \[5\]: \[([^\]]+)\]", plan)
+              if "salt" in p and "doc_id" in p]
+    assert narrow, plan
+    for p in narrow:
+        assert "terms#" not in p and "url#" not in p, p
+    # and both dimension joins on the way in are broadcasts
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_minhash_signatures_plan_has_no_exchange(spark, tmp_path):
+    """Signatures are a narrow projection over the scan — zero shuffles."""
+    import pandas as pd
+
+    from elasticsearch_eslib_spark.operators.dedup import (
+        _sig_cols, doc_shingle_arrays,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        "text": [f"w{i} w{i+1} w{i+2} w{i+3} common words here"
+                 for i in range(100)],
+    })
+    p = str(tmp_path / "docs.parquet")
+    pdf.to_parquet(p)
+    docs = spark.read.parquet(p)
+    sigs = doc_shingle_arrays(docs, do_spread=False).select(
+        "doc_id", *_sig_cols())
+    assert "Exchange" not in _fmt(sigs)
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    from elasticsearch_eslib_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import os
+
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata absent")
+    plan = _fmt(ann_bruteforce_topk(spark, sf))
+    assert "BroadcastExchange" in plan, plan
