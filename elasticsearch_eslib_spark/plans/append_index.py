@@ -123,6 +123,13 @@ def append_index(spark: SparkSession, pages_path: str,
         unpersist_ids(delta)
     m2 = io.stage_metrics(st2)
     n_new, dl_new = int(m2["n_new"]), int(m2["dl_new"])
+    if n_new == 0:
+        # empty batch: never commit an epoch (an empty postings table is
+        # unreadable and the epoch would be pure noise). The partial A1/A2
+        # stages are harmless — the next real append re-targets the same
+        # epoch number and overwrites them.
+        return {"skipped": True, "reason": "empty_batch", "epoch": e,
+                "wall_sec": time.time() - t_start}
     docs_delta = io.read(st2)
     n_tot = n_prev + n_new
     avgdl_tot = ((avgdl_prev * n_prev + dl_new) / n_tot) if n_tot else 0.0

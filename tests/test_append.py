@@ -217,3 +217,28 @@ def test_compact_restores_cold_build_shape(spark, corpora, appended_index,
     assert m["epoch"] == 1
     assert (_url_scores(spark, dst, "wand")
             == _url_scores(spark, dst, "exhaustive"))
+
+
+def test_empty_batch_append_is_noop(spark, tmp_path):
+    """An all-rejects/empty batch must never commit an epoch (an empty
+    postings table would be unreadable); the index stays fully queryable
+    and a following REAL append lands normally."""
+    from elasticsearch_eslib_spark.plans.build_index import committed_epochs
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    base = _write_custom(str(tmp_path / "base" / "pages.parquet"),
+                         [(f"d{i}", f"alpha beta w{i}") for i in range(40)])
+    empty = _write_custom(str(tmp_path / "empty" / "pages.parquet"), [])
+    real = _write_custom(str(tmp_path / "real" / "pages.parquet"),
+                         [(f"e{i}", f"alpha gamma v{i}") for i in range(20)])
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, base, idx_dir)
+    m = append_index(spark, empty, idx_dir)
+    assert m["skipped"] is True and m["reason"] == "empty_batch"
+    assert committed_epochs(open_tableio(spark, idx_dir)) == []
+    assert Index(spark, idx_dir).n_docs == 40
+    m2 = append_index(spark, real, idx_dir)
+    assert m2.get("skipped") is not True and m2["epoch"] == 1
+    assert Index(spark, idx_dir).n_docs == 60
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, idx_dir, "exhaustive"))
