@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("--append", action="store_true",
                     help="append --input as a new epoch to an EXISTING index")
     ap.add_argument("--buckets", type=int, default=32)
-    ap.add_argument("--commit-groups", type=int, default=2)
+    ap.add_argument("--commit-groups", type=int, default=None,
+                    help="S1 checkpoint commits (default: adaptive, one "
+                         "per ~512MB of input, clamped to [1,8])")
     args = ap.parse_args()
 
     from elasticsearch_eslib_spark.config import get_spark

@@ -34,8 +34,12 @@ from elasticsearch_eslib_spark.sources.tableio import (
 
 N_INPUT_BUCKETS = 32
 # Commit groups trade resume granularity (buckets per checkpoint commit)
-# against per-job fixed overhead; 2 = 16-bucket commit units.
-N_COMMIT_GROUPS = 2
+# against per-job fixed overhead. The default is ADAPTIVE: one commit
+# group per ~this many input bytes (clamped to [1, 8]) — a small corpus
+# pays one commit, a big one checkpoints every ~512 MB of raw pages.
+# Buckets, not groups, are the resume unit, so a resumed run with a
+# different grouping still skips exactly the committed buckets.
+COMMIT_GROUP_BYTES = 512 << 20
 
 
 class BuildError(RuntimeError):
@@ -59,7 +63,7 @@ def _dir_bytes(path: str) -> int:
 def build_index(spark: SparkSession, pages_path: str, index_dir: str,
                 resume: bool = False,
                 n_buckets: int = N_INPUT_BUCKETS,
-                n_commit_groups: int = N_COMMIT_GROUPS,
+                n_commit_groups: int | None = None,
                 fail_after_group: int | None = None,
                 fail_before_record: int | None = None) -> dict:
     """Build the full index; returns metrics. Failure injection (resume
@@ -90,6 +94,8 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         mpb_key = "spark.sql.files.maxPartitionBytes"
         mpb_old = spark.conf.get(mpb_key)
         in_bytes = _dir_bytes(pages_path)
+        if n_commit_groups is None:
+            n_commit_groups = max(1, min(8, in_bytes // COMMIT_GROUP_BYTES))
         target = max(4 << 20, min(128 << 20, in_bytes // max(1, n_part)))
         spark.conf.set(mpb_key, str(target))
         # bucket on the RAW url so each commit group filters BEFORE the
