@@ -24,7 +24,11 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-FIXTURE = os.path.join(REPO, "BENCH", ".fixtures", "pages_ci", "pages.parquet")
+# SCALING_FIXTURE: path to a pre-generated pages parquet file/dir (e.g.
+# bench_append.ensure_range output) — skips the single-process generator
+FIXTURE = os.environ.get(
+    "SCALING_FIXTURE",
+    os.path.join(REPO, "BENCH", ".fixtures", "pages_ci", "pages.parquet"))
 N_DOCS = int(os.environ.get("SCALING_DOCS", "600000"))
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 # N vs 4N parallelism levels. Default (2, 8): this sandbox is a SHARED
@@ -40,6 +44,9 @@ SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 def ensure_fixture() -> None:
     sys.path.insert(0, REPO)
+    if "SCALING_FIXTURE" in os.environ:
+        assert os.path.exists(FIXTURE), FIXTURE
+        return
     from elasticsearch_eslib_spark.fixtures import write_pages_parquet
 
     write_pages_parquet(os.path.dirname(FIXTURE), N_DOCS)
