@@ -44,35 +44,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-level proof that the index engine agrees with plain SQL.
 # ---------------------------------------------------------------------------
 
-def _bm25_wand_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """documents rows → pages shape: url = zero-padded doc_id (keeps dense
+    id order == doc_id order), lang='xx' (no stopword removal → analyzer
+    output == whitespace tokens on this pre-tokenized corpus)."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01")).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("xx").alias("lang"))
+
+
+def _lifecycle_index(spark: SparkSession, sf_dir: str, mode: str) -> str:
+    """Build (and tmp-cache) an index over the documents table through one
+    of three lifecycles, returning its directory:
+
+      cold      — one-shot build_index over the full corpus
+      appended  — build over the first half (doc_id order), then
+                  append_index the second half as epoch 1: the round-3
+                  incremental path, now driver-oracled end-to-end
+      compacted — force-merge of the appended index (compact_index)
+
+    All three must answer the reference query set identically (scores
+    depend only on tf/dl/df/N/avgdl, which append maintains exactly and
+    compaction preserves) — the DuckDB twin is the same _bm25_sql."""
     import tempfile
 
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    from elasticsearch_eslib_spark.operators.query import topk_wand
-    from elasticsearch_eslib_spark.plans.build_index import Index, build_index
+    from elasticsearch_eslib_spark.plans.build_index import build_index
     from elasticsearch_eslib_spark.sources.tableio import fingerprint_path
 
     docs_path = f"{sf_dir}/documents.parquet"
-    # documents → pages shape: url = zero-padded doc_id (keeps dense id
-    # order == doc_id order), lang='xx' (no stopword removal → analyzer
-    # output == whitespace tokens on this pre-tokenized corpus)
     fp = fingerprint_path(docs_path)
     # v2: postings carry idf-free raw bounds (appendable-index format)
     work = os.path.join(tempfile.gettempdir(), f"eslib_idx_v2_{fp}")
-    pages_path = os.path.join(work, "pages")
-    index_dir = os.path.join(work, "index")
-    if not os.path.exists(os.path.join(index_dir, "_manifest.json")):
-        docs = spark.read.parquet(docs_path)
-        (docs.select(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
-            F.to_timestamp(F.lit("2026-01-01")).alias("warc_ts"),
-            F.col("text").cast("binary").alias("html"),
-            F.col("text"),
-            F.lit("xx").alias("lang"))
-         .write.mode("overwrite").parquet(pages_path))
+    index_dir = os.path.join(work, {"cold": "index", "appended": "index_app",
+                                    "compacted": "index_cmp"}[mode])
+    if os.path.exists(os.path.join(index_dir, "_manifest.json")):
+        return index_dir
+    docs = spark.read.parquet(docs_path)
+    if mode == "cold":
+        pages_path = os.path.join(work, "pages")
+        _docs_as_pages(docs).write.mode("overwrite").parquet(pages_path)
         build_index(spark, pages_path, index_dir)
-    idx = Index(spark, index_dir)
+    elif mode == "appended":
+        from elasticsearch_eslib_spark.plans.append_index import append_index
+
+        cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        p1 = os.path.join(work, "pages_h1")
+        p2 = os.path.join(work, "pages_h2")
+        _docs_as_pages(docs.where(F.col("doc_id") <= cut)) \
+            .write.mode("overwrite").parquet(p1)
+        _docs_as_pages(docs.where(F.col("doc_id") > cut)) \
+            .write.mode("overwrite").parquet(p2)
+        build_index(spark, p1, index_dir)
+        append_index(spark, p2, index_dir)
+    else:
+        from elasticsearch_eslib_spark.plans.compact_index import compact_index
+
+        compact_index(spark, _lifecycle_index(spark, sf_dir, "appended"),
+                      index_dir)
+    return index_dir
+
+
+def _bm25_wand_indexed(spark: SparkSession, sf_dir: str,
+                       mode: str = "cold") -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from elasticsearch_eslib_spark.operators.query import topk_wand
+    from elasticsearch_eslib_spark.plans.build_index import Index
+
+    idx = Index(spark, _lifecycle_index(spark, sf_dir, mode))
     # buffer past k: the final ranking re-breaks ties on round(score, 6) +
     # doc_id, so WAND must fetch enough candidates that no doc OUTSIDE the
     # fetched set could tie the rank-k rounded score. The guard below
@@ -116,6 +162,19 @@ def _bm25_wand_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "score"))
 
 
+def _bm25_wand_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build(first half) → append_index(second half) → WAND: the round-3
+    incremental-indexing flagship, certified against the SAME exact DuckDB
+    twin as the cold build (rank/score identity is the whole point)."""
+    return _bm25_wand_indexed(spark, sf_dir, mode="appended")
+
+
+def _bm25_wand_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact_index over the appended index → WAND: force-merge preserves
+    doc ids and scores exactly; same DuckDB twin."""
+    return _bm25_wand_indexed(spark, sf_dir, mode="compacted")
+
+
 def _media_features_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_features(spark, sf_dir)
 
@@ -129,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _ft.corpus_stats,
         "bm25_topk": _ft.bm25_topk,
         "bm25_wand_indexed": _bm25_wand_indexed,
+        "bm25_wand_appended": _bm25_wand_appended,
+        "bm25_wand_compacted": _bm25_wand_compacted,
         "topk_docs_per_lang": _ft.topk_docs_per_lang,
         # dedup suite
         "dedup_exact": _dd.dedup_exact,
@@ -224,12 +285,22 @@ def _bm25_indexed_sql() -> str:
     return _bm25_sql(exclude=(6,))
 
 
-def _minhash_sql() -> str:
+def _sigs_select() -> str:
+    """Universal-hash minhash SELECT over a `sh` CTE — exact twin of
+    dedup.signatures_of: h = md5_long(shingle) mod P (P = 2^31−1), sig_j =
+    min(a_j·h + b_j mod P) with the same pinned literal constants.
+    (P−1)² + b < 2^62 — identical longs in both engines, no overflow."""
+    p = _dd.MINHASH_P
     sig_cols = ", ".join(
-        f"min({sql_md5_long_seeded('shingle', j)}) AS sig_{j}"
+        f"min(({_dd.MINHASH_A[j]} * h + {_dd.MINHASH_B[j]}) % {p}) AS sig_{j}"
         for j in range(_dd.N_MINHASH))
-    return (f"WITH sh AS ({_SHINGLES}) "
-            f"SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id")
+    return (f"SELECT doc_id, {sig_cols} FROM "
+            f"(SELECT doc_id, {sql_md5_long('shingle')} % {p} AS h FROM sh) "
+            f"GROUP BY doc_id")
+
+
+def _minhash_sql() -> str:
+    return f"WITH sh AS ({_SHINGLES}) {_sigs_select()}"
 
 
 def _minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
@@ -249,10 +320,7 @@ def _minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
         for b in range(_dd.LSH_BANDS))
     return f"""
         WITH sh AS ({_SHINGLES}),
-        sigs AS (SELECT doc_id, {", ".join(
-                     f"min({sql_md5_long_seeded('shingle', j)}) AS sig_{j}"
-                     for j in range(_dd.N_MINHASH))}
-                 FROM sh GROUP BY doc_id),
+        sigs AS ({_sigs_select()}),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -414,6 +482,8 @@ def oracle_sql() -> dict[str, str]:
             f"round((SELECT avg(dl) FROM ({_DL})), 6) AS avg_dl"),
         "bm25_topk": _bm25_sql(),
         "bm25_wand_indexed": _bm25_indexed_sql(),
+        "bm25_wand_appended": _bm25_indexed_sql(),
+        "bm25_wand_compacted": _bm25_indexed_sql(),
         "topk_docs_per_lang": f"""
             SELECT lang, CAST(row_number() OVER (PARTITION BY lang
                       ORDER BY n_chars DESC, doc_id) AS INT) AS rank,

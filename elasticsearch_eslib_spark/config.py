@@ -75,6 +75,14 @@ def get_spark(app_name: str = "eslib-spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bounded driver-metadata probes (oversized LSH/simhash buckets,
+        # query term lists) end in limit(N).collect(); the default
+        # CollectLimit strategy scans 1 partition, then 4, 16, ... — a
+        # CHAIN of sequential mini-jobs when the filter output is small or
+        # empty (measured: 1.7 s per probe at sf0.1). The probes' inputs
+        # are already aggregated/filtered to near-nothing, so scanning all
+        # partitions in ONE job is strictly better at any scale.
+        .config("spark.sql.limit.initialNumPartitions", "10000")
         # local corpora arrive as a handful of big parquet files; the
         # default 128MB split gives a 2-3-task scan that serializes the
         # Arrow/Python extract stage. 8MB splits keep the scan as parallel

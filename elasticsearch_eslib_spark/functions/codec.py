@@ -170,9 +170,12 @@ def encode_posting_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
     """
     if not (len(doc_ids) == len(tfs) == len(dls)):
         raise ValueError("posting stream length mismatch")
-    if 0 < len(doc_ids) <= _SMALL_N:
+    if 0 < len(doc_ids) <= min(_SMALL_N, block_size):
         # single small block: stay in plain Python end-to-end (the numpy
-        # conversions below cost more than the whole encode at this size)
+        # conversions below cost more than the whole encode at this size).
+        # Gated on block_size too — a caller asking for sub-_SMALL_N blocks
+        # must get the block split (and per-block max metadata) it asked
+        # for, not one silently-oversized block.
         d = [int(x) for x in doc_ids]
         t = [int(x) for x in tfs]
         dl = [int(x) for x in dls]

@@ -81,8 +81,16 @@ def pin_near_dup_planes(spark: SparkSession, sf_dir: str,
     return n
 
 
-def pinned_near_dup_planes(meta_dir: str) -> int | None:
-    """Read a pinned plane count back; None when no pin exists."""
+def pinned_near_dup_planes(meta_dir: str,
+                           expect_fingerprint: str | None = None
+                           ) -> int | None:
+    """Read a pinned plane count back; None when no pin exists.
+
+    `expect_fingerprint` (the current embeddings-table fingerprint) guards
+    against a STALE pin: if the table was rewritten/regrown since
+    `pin_near_dup_planes` recorded it, the sidecar's fingerprint no longer
+    matches and None is returned — callers then fall back to a fresh count
+    instead of silently bucketing with an occupancy-wrong plane count."""
     import json
     import os
 
@@ -90,7 +98,11 @@ def pinned_near_dup_planes(meta_dir: str) -> int | None:
     if not os.path.exists(path):
         return None
     with open(path) as fh:
-        return int(json.load(fh)["n_planes"])
+        data = json.load(fh)
+    if (expect_fingerprint is not None
+            and data.get("fingerprint") not in (None, expect_fingerprint)):
+        return None
+    return int(data["n_planes"])
 
 
 def _dot(a, b):
@@ -181,7 +193,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str,
     metadata-only count (parquet footers / Iceberg stats; test-scale
     convenience only — production buckets at ingest and pins)."""
     if n_planes is None and meta_dir is not None:
-        n_planes = pinned_near_dup_planes(meta_dir)
+        from elasticsearch_eslib_spark.sources.tableio import fingerprint_path
+
+        n_planes = pinned_near_dup_planes(
+            meta_dir,
+            expect_fingerprint=fingerprint_path(
+                f"{sf_dir}/embeddings.parquet"))
     if n_planes is None:
         n_planes = near_dup_planes(load_embeddings(spark, sf_dir).count())
     emb = load_embeddings(spark, sf_dir).withColumn(

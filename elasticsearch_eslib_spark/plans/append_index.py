@@ -33,13 +33,25 @@ epoch would be a full-index pass per batch).
 Each stage is a committed TableIO snapshot in a fingerprint chain seeded
 by (batch fingerprint : previous postings snapshot): a crashed append
 resumes at stage granularity, an uncommitted epoch is invisible, and
-re-submitting the SAME batch after a successful commit is a no-op
-(exactly-once append, mirroring the epoch-idempotent streaming sink).
+re-submitting a batch already committed as ANY prior epoch is a no-op
+(exactly-once append, mirroring the epoch-idempotent streaming sink; the
+guard scans every committed epoch's metrics — bounded metadata reads,
+one tiny dict per epoch). Callers with a content-addressed batch (the
+streaming sink rewrites staged files with fresh part names on epoch
+redelivery, so a file-name fingerprint would NOT be stable) pass
+`batch_fingerprint` explicitly.
 
 Scale note (deliberate): terms_a{e} rewrites the vocabulary table per
 epoch. Vocabulary is sublinear in corpus size (≈10^8 rows at 10^12 docs)
 — a bounded, partition-parallel rewrite — while docs/postings, the
-corpus-sized tables, are strictly append-only.
+corpus-sized tables, are strictly append-only. Append METADATA is
+O(delta + vocab), never O(corpus): the continuation doc id comes from the
+previous epoch's committed `max_doc_id` metric and per-term block
+continuation from the previous epoch's `block_offs` table (vocab-sized,
+rewritten alongside terms) — no scan of prior docs or postings tables
+ever happens (pinned by tests/test_append.py, which physically removes
+them during an append). Legacy indexes missing the metadata fall back to
+the corpus-scan path once; their next epoch writes the metadata forward.
 """
 
 from __future__ import annotations
@@ -62,28 +74,44 @@ from elasticsearch_eslib_spark.sources.tableio import (
 )
 
 
+def _has_table(io, name: str) -> bool:
+    """TableIO-impl-agnostic table existence (metadata only)."""
+    import os
+
+    exists = getattr(io, "_exists", None)
+    if exists is not None:  # IcebergTableIO
+        return bool(exists(name))
+    return os.path.isdir(io.table_path(name))
+
+
 def append_index(spark: SparkSession, pages_path: str,
-                 index_dir: str) -> dict:
+                 index_dir: str,
+                 batch_fingerprint: str | None = None) -> dict:
     """Append the batch at `pages_path` as a new epoch; returns metrics.
 
-    Idempotent per batch: if the latest committed epoch already ingested a
-    batch with this fingerprint, the call is a no-op (metrics carry
-    ``skipped=True``)."""
+    Idempotent per batch: if ANY committed epoch already ingested a batch
+    with this fingerprint, the call is a no-op (metrics carry
+    ``skipped=True`` and the matching epoch). Fingerprints default to the
+    staged files' names+sizes; pass `batch_fingerprint` for content-stable
+    identity (required when the same batch may be re-staged under new file
+    names, e.g. foreachBatch epoch redelivery)."""
     t_start = time.time()
     io = open_tableio(spark, index_dir)
     epochs = committed_epochs(io)
-    fp_batch = fingerprint_path(pages_path)
+    fp_batch = batch_fingerprint or fingerprint_path(pages_path)
 
     last_stats = f"stats_a{epochs[-1]}" if epochs else "stats"
-    if epochs and io.stage_metrics(
-            f"stats_a{epochs[-1]}").get("batch_fingerprint") == fp_batch:
-        return {"skipped": True, "epoch": epochs[-1],
-                "wall_sec": time.time() - t_start}
+    for prev_e in reversed(epochs):
+        if io.stage_metrics(
+                f"stats_a{prev_e}").get("batch_fingerprint") == fp_batch:
+            return {"skipped": True, "epoch": prev_e,
+                    "wall_sec": time.time() - t_start}
 
     e = len(epochs) + 1
     sfx = f"_a{e}"
     prev_postings = f"postings_a{epochs[-1]}" if epochs else "postings"
     prev_terms = f"terms_a{epochs[-1]}" if epochs else "terms"
+    prev_offs = f"block_offs_a{epochs[-1]}" if epochs else "block_offs"
     prev = io.read(last_stats).collect()[0]
     n_prev = int(prev["n_docs"])
     avgdl_prev = float(prev["avg_dl"])
@@ -102,24 +130,34 @@ def append_index(spark: SparkSession, pages_path: str,
 
     # ------------------------------------------------------------- A2
     # ids continue after the existing MAX id (ids cover rejects too, so
-    # this is max(doc_id), not stats.n_docs) — one narrow-column agg
+    # this is max(doc_id), not stats.n_docs). O(delta) path: the previous
+    # epoch committed its max_doc_id as a stage metric — one metadata read.
+    # Legacy indexes (built before the metric existed) fall back to a
+    # narrow-column agg over the prior docs tables ONCE; this epoch then
+    # writes the metric forward.
     st2 = f"docs{sfx}"
     s2_fp = fp + ":" + io.stage_snapshot(st1)
     from functools import reduce
 
-    prior_docs = reduce(DataFrame.unionByName, [
-        io.read(f"docs{s}")
-        for s in [""] + [f"_a{x}" for x in epochs]])
     if not io.is_done(st2, s2_fp):
-        base_id = int(prior_docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+        prev_meta_stage = f"stats_a{epochs[-1]}" if epochs else "postings"
+        base_id = io.stage_metrics(prev_meta_stage).get("max_doc_id")
+        if base_id is None:  # legacy fallback: corpus-proportional scan
+            prior_docs = reduce(DataFrame.unionByName, [
+                io.read(f"docs{s}")
+                for s in [""] + [f"_a{x}" for x in epochs]])
+            base_id = int(
+                prior_docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+        base_id = int(base_id)
         delta = assign_doc_ids(tokenized)
         sums = delta._dense_ids_sums  # noqa: SLF001
         n_new = int(sums["__ok"])
         dl_new = int(sums["__dl_pos"])
+        max_id = base_id + int(delta._dense_ids_total)  # noqa: SLF001
         shifted = delta.withColumn("doc_id", F.col("doc_id") + base_id)
         io.commit_stage(st2, st2, shifted, s2_fp,
                         metrics={"n_new": n_new, "dl_new": dl_new,
-                                 "base_id": base_id})
+                                 "base_id": base_id, "max_doc_id": max_id})
         unpersist_ids(delta)
     m2 = io.stage_metrics(st2)
     n_new, dl_new = int(m2["n_new"]), int(m2["dl_new"])
@@ -171,14 +209,21 @@ def append_index(spark: SparkSession, pages_path: str,
         delta_posts = build_postings(
             tf_delta, terms_merged, docs_delta, n_tot, avgdl_tot,
             num_partitions=n_part)
-        # continue block ids after each term's existing blocks — a scan of
-        # prior block METADATA only (128× smaller than postings, binary
-        # columns pruned)
-        prior_posts = reduce(DataFrame.unionByName, [
-            io.read(f"postings{s}").select("term_id", "block_id")
-            for s in [""] + [f"_a{x}" for x in epochs]])
-        offs = prior_posts.groupBy("term_id").agg(
-            (F.max("block_id") + 1).alias("__off"))
+        # continue block ids after each term's existing blocks. O(delta +
+        # vocab) path: the previous epoch's block_offs table (one row per
+        # term, rewritten alongside terms each epoch) carries the running
+        # per-term block count — never a scan of prior postings. Legacy
+        # indexes without the table fall back to the block-metadata scan
+        # once (128× smaller than postings, binary columns pruned).
+        if _has_table(io, prev_offs):
+            offs = io.read(prev_offs).select(
+                "term_id", F.col("n_blocks").alias("__off"))
+        else:
+            prior_posts = reduce(DataFrame.unionByName, [
+                io.read(f"postings{s}").select("term_id", "block_id")
+                for s in [""] + [f"_a{x}" for x in epochs]])
+            offs = prior_posts.groupBy("term_id").agg(
+                (F.max("block_id") + 1).cast("int").alias("__off"))
         delta_posts = (delta_posts.join(offs, "term_id", "left")
                        .withColumn("block_id",
                                    (F.col("block_id")
@@ -200,6 +245,27 @@ def append_index(spark: SparkSession, pages_path: str,
         import datetime as _dt
         import uuid as _uuid
 
+        # roll the per-term block counts forward (vocab-sized, like terms):
+        # delta terms get their new running total from the just-committed
+        # delta postings' block metadata (delta-sized scan); untouched
+        # terms carry their prior count. A crash between this write and the
+        # stats commit re-runs this stage — the overwrite is idempotent.
+        delta_tot = (io.read(st4).groupBy("term_id")
+                     .agg((F.max("block_id") + 1).cast("int").alias("__nb")))
+        if _has_table(io, prev_offs):
+            prior = io.read(prev_offs)
+        else:  # legacy: derive prior counts from prior block metadata once
+            prior_posts = reduce(DataFrame.unionByName, [
+                io.read(f"postings{s}").select("term_id", "block_id")
+                for s in [""] + [f"_a{x}" for x in epochs]])
+            prior = prior_posts.groupBy("term_id").agg(
+                (F.max("block_id") + 1).cast("int").alias("n_blocks"))
+        merged_offs = (prior.join(delta_tot, "term_id", "full")
+                       .select("term_id",
+                               F.coalesce("__nb", "n_blocks")
+                               .cast("int").alias("n_blocks")))
+        io.write_table(f"block_offs{sfx}", merged_offs)
+
         snapshot = _uuid.uuid4().hex[:26]
         bound = min(bound_prev, avgdl_tot) if n_tot else avgdl_tot
         io.commit_stage(
@@ -211,7 +277,13 @@ def append_index(spark: SparkSession, pages_path: str,
                 "built_at timestamp, snapshot string"),
             s5_fp, snapshot=snapshot,
             metrics={"batch_fingerprint": fp_batch, "n_new": n_new,
-                     "n_docs": n_tot, "avg_dl": avgdl_tot})
+                     "n_docs": n_tot, "avg_dl": avgdl_tot,
+                     # m2 lacks the metric only when A2 committed under an
+                     # older version; the delta-sized agg backfills it
+                     "max_doc_id": int(
+                         m2.get("max_doc_id")
+                         or docs_delta.agg(
+                             F.max("doc_id")).collect()[0][0] or 0)})
 
     metrics.update({"n_new": n_new, "n_docs": n_tot, "avg_dl": avgdl_tot,
                     "wall_sec": time.time() - t_start})

@@ -175,9 +175,14 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         sums = docs._dense_ids_sums  # noqa: SLF001 — free from pass 1
         n_docs = int(sums["__ok"])   # indexable docs (rejects excluded)
         avg_dl = (sums["__dl_pos"] / n_docs) if n_docs else 0.0
+        # max_doc_id (dense 1-based ids cover rejects too, so this is the
+        # assignment total) rides the metrics so appends never re-derive it
+        # from a docs-table scan (plans/append_index.py)
+        max_doc_id = int(docs._dense_ids_total)  # noqa: SLF001
         unpersist_ids(docs)
         io.commit_stage("docs_tf", "docs", None, s2_fp,
                         metrics={"n_docs": n_docs, "avg_dl": avg_dl,
+                                 "max_doc_id": max_doc_id,
                                  "wall_ms": int((time.time() - t0) * 1000)})
     docs = io.read("docs")
     # term freqs stay a VIEW over (tokenized ⋈ docs) — materializing the
@@ -215,6 +220,15 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
                 F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
             .repartition(N_POSTING_BUCKETS, "p_bucket"),
             partition_by=["p_bucket"])
+        # per-term running block counts (vocab-sized): the append path
+        # continues block ids from this table instead of scanning the
+        # postings' block metadata (O(vocab) metadata vs O(corpus/128)).
+        # Derived from the COMMITTED postings files — a 2-column pruned
+        # scan of block rows, negligible next to the encode it follows.
+        io.write_table("block_offs", io.read("postings")
+                       .groupBy("term_id")
+                       .agg((F.max("block_id") + 1).cast("int")
+                            .alias("n_blocks")))
         # stats carries the snapshot id it belongs to (schemas.STATS)
         import datetime as _dt
         import uuid as _uuid2
@@ -228,6 +242,9 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         io.commit_stage("postings", "postings", None, s4_fp,
                         snapshot=snapshot,
                         metrics={"n_docs": n_docs, "avg_dl": avg_dl,
+                                 "max_doc_id": int(
+                                     io.stage_metrics("docs_tf")
+                                     .get("max_doc_id", n_docs)),
                                  "wall_ms": int((time.time() - t0) * 1000)})
 
     stats = io.read("stats").collect()[0]

@@ -37,15 +37,48 @@ from elasticsearch_eslib_spark.operators.build import encode_enriched
 from elasticsearch_eslib_spark.operators.query import (
     N_POSTING_BUCKETS, decode_blocks,
 )
-from elasticsearch_eslib_spark.plans.build_index import Index
+from elasticsearch_eslib_spark.plans.build_index import Index, committed_epochs
 from elasticsearch_eslib_spark.sources.tableio import open_tableio
 
 
-def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
-    """Compact `src_dir` (any number of epochs) into fresh `dst_dir`."""
+class CompactionConflict(RuntimeError):
+    """An append committed to the source index while compaction ran; the
+    compacted output would silently drop that epoch — abort uncommitted."""
+
+
+def _index_state(spark: SparkSession, src_dir: str) -> tuple:
+    """Identity of the source index's committed content: the base postings
+    snapshot plus every committed epoch's stats snapshot. Metadata only —
+    re-derived from a FRESH TableIO so a concurrent writer's manifest
+    replace is observed."""
+    io = open_tableio(spark, src_dir)
+    epochs = committed_epochs(io)
+    return (io.stage_snapshot("postings"),
+            tuple((e, io.stage_snapshot(f"stats_a{e}")) for e in epochs))
+
+
+def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
+                  pre_commit_hook=None) -> dict:
+    """Compact `src_dir` (any number of epochs) into fresh `dst_dir`.
+
+    Single-writer by convention, VERIFIED at the commit point: the source
+    snapshot state captured at start is re-checked before the final commit
+    (and the caller should check again before flipping its pointer) — if an
+    append landed mid-compaction, CompactionConflict aborts with dst_dir
+    uncommitted (no postings stage → unreadable as an index), so a stale
+    compact can never shadow committed epochs. `pre_commit_hook` is a test
+    seam injected between the rewrite and the conflict check."""
     t0 = time.time()
+    state0 = _index_state(spark, src_dir)
     idx = Index(spark, src_dir)
     n_docs, avg_dl = idx.n_docs, idx.avg_dl
+    src_epochs = committed_epochs(idx.io)
+    meta_stage = f"stats_a{src_epochs[-1]}" if src_epochs else "postings"
+    # a compaction is a corpus pass anyway, so the legacy (no-metric)
+    # fallback agg costs nothing relative to the job
+    max_doc_id = int(
+        idx.io.stage_metrics(meta_stage).get("max_doc_id")
+        or idx.docs.agg(F.max("doc_id")).collect()[0][0] or 0)
 
     out = open_tableio(spark, dst_dir)
     fp = "compact:" + idx.io.stage_snapshot("postings")
@@ -77,8 +110,21 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
         .repartition(N_POSTING_BUCKETS, "p_bucket"),
         partition_by=["p_bucket"])
 
+    # per-term block counts for future appends onto the compacted dir
+    out.write_table("block_offs", out.read("postings")
+                    .groupBy("term_id")
+                    .agg((F.max("block_id") + 1).cast("int")
+                         .alias("n_blocks")))
+
     import datetime as _dt
     import uuid as _uuid
+
+    if pre_commit_hook is not None:
+        pre_commit_hook()
+    if _index_state(spark, src_dir) != state0:
+        raise CompactionConflict(
+            f"source index {src_dir} changed during compaction "
+            "(append committed mid-run); rerun compaction")
 
     snapshot = _uuid.uuid4().hex[:26]
     # bound_avgdl == avg_dl again: every block re-encoded under the
@@ -90,6 +136,7 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
         "built_at timestamp, snapshot string"))
     out.commit_stage("postings", "postings", None, fp, snapshot=snapshot,
                      metrics={"n_docs": n_docs, "avg_dl": avg_dl,
+                              "max_doc_id": max_doc_id,
                               "compacted_from": src_dir})
     return {"n_docs": n_docs, "avg_dl": avg_dl,
             "wall_sec": time.time() - t0}

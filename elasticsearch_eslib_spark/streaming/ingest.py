@@ -196,14 +196,30 @@ def stream_socket_pages_ingest(spark: SparkSession, host: str, port: int,
             .option("checkpointLocation", checkpoint_dir))
 
 
+def batch_content_fingerprint(df: DataFrame) -> str:
+    """Order-independent CONTENT fingerprint of a pages batch: row count +
+    bit_xor of per-row xxhash64(url, html). Identical content → identical
+    fingerprint no matter how the rows are laid out in files — which a
+    file-name/size fingerprint (tableio.fingerprint_path) cannot give,
+    because every parquet rewrite mints fresh job-UUID part names. One
+    partial-aggregated pass over the (delta-sized) batch."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(url, html))"),
+                   F.lit(0)).alias("h")).collect()[0]
+    return f"c{int(row['n'])}x{int(row['h']) & (1 << 64) - 1:016x}"
+
+
 def index_append_sink(index_dir: str, stage_root: str):
     """foreachBatch sink maintaining a LIVE index: each epoch's pages are
     staged to an epoch=<id> dir (overwrite — idempotent under epoch
     redelivery) and appended to the index as one committed epoch
     (plans/append_index.py). Exactly-once end-to-end with a replayable
-    source: a redelivered epoch rewrites the same staged batch bytes, and
-    append_index's batch-fingerprint guard turns the duplicate submit into
-    a no-op. Epochs run sequentially in the stream thread — append is
+    source: the append is keyed by the batch's CONTENT fingerprint (a
+    redelivered epoch rewrites the staged files under NEW part names, so a
+    file-name fingerprint would differ and double-append — the round-3
+    bug), and append_index no-ops any batch already committed as ANY
+    epoch. Epochs run sequentially in the stream thread — append is
     single-writer by construction. Empty epochs are skipped."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -212,9 +228,11 @@ def index_append_sink(index_dir: str, stage_root: str):
         staged = batch_df.dropDuplicates(["url"])
         if staged.isEmpty():
             return
+        fp = batch_content_fingerprint(staged)
         stage = os.path.join(stage_root, f"epoch={epoch_id}")
         staged.write.mode("overwrite").parquet(stage)
-        append_index(batch_df.sparkSession, stage, index_dir)
+        append_index(batch_df.sparkSession, stage, index_dir,
+                     batch_fingerprint=fp)
 
     return _sink
 

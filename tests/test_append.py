@@ -242,3 +242,138 @@ def test_empty_batch_append_is_noop(spark, tmp_path):
     assert Index(spark, idx_dir).n_docs == 60
     assert (_url_scores(spark, idx_dir, "wand")
             == _url_scores(spark, idx_dir, "exhaustive"))
+
+
+def test_append_reads_no_prior_corpus_tables(spark, tmp_path):
+    """O(delta + vocab) append metadata (round-4 fix): with every prior
+    corpus-sized table (docs, postings — base AND earlier epochs)
+    physically REMOVED from disk, an append still succeeds, because the
+    continuation doc id comes from committed stage metrics and per-term
+    block continuation from the vocab-sized block_offs table. Restoring
+    the tables, the index answers identically to a cold build over the
+    union — the strongest possible form of the 'append never scans the
+    corpus' plan-shape claim."""
+    import shutil
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 400)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 400, 700)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 700, 900)
+    abc = _write_range(os.path.join(root, "abc", "pages.parquet"), 0, 900)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+    append_index(spark, b, idx_dir)
+
+    hidden = {}
+    for t in ("docs", "postings", "docs_a1", "postings_a1"):
+        src = os.path.join(idx_dir, t)
+        assert os.path.isdir(src), t
+        hidden[t] = src + ".hidden"
+        shutil.move(src, hidden[t])
+    m = append_index(spark, c, idx_dir)
+    assert m.get("skipped") is not True and m["epoch"] == 2
+    for t, h in hidden.items():
+        shutil.move(h, os.path.join(idx_dir, t))
+
+    cold_dir = os.path.join(root, "idx_cold")
+    build_index(spark, abc, cold_dir)
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, cold_dir, "wand"))
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, idx_dir, "exhaustive"))
+
+
+def test_append_idempotent_against_any_prior_epoch(spark, tmp_path):
+    """Resubmitting a batch committed as ANY earlier epoch (not only the
+    latest) is a no-op reporting that epoch — the round-3 guard only
+    checked the latest epoch's fingerprint."""
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 300)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 300, 500)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 500, 650)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+    assert append_index(spark, b, idx_dir)["epoch"] == 1
+    assert append_index(spark, c, idx_dir)["epoch"] == 2
+    m = append_index(spark, b, idx_dir)  # EARLIER epoch's batch
+    assert m["skipped"] is True and m["epoch"] == 1
+    assert Index(spark, idx_dir).n_docs == 650
+
+
+def test_append_content_fingerprint_spans_restaging(spark, tmp_path):
+    """The same batch content re-staged under a different physical file
+    layout (fresh part names / row-group sizes — exactly what foreachBatch
+    epoch redelivery produces) must not double-append when the caller
+    keys the append by CONTENT fingerprint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_eslib_spark.streaming.ingest import (
+        batch_content_fingerprint,
+    )
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 300)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+
+    pdf = gen_pages_range(300, 500)
+    schema = pa.schema([
+        pa.field("url", pa.string(), False),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC"), False),
+        pa.field("html", pa.binary(), False),
+        pa.field("text", pa.string(), True),
+        pa.field("lang", pa.string(), False),
+    ])
+    d1 = os.path.join(root, "d1", "pages.parquet")
+    d2 = os.path.join(root, "d2", "pages.parquet")
+    os.makedirs(os.path.dirname(d1)), os.makedirs(os.path.dirname(d2))
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    pq.write_table(table, d1, row_group_size=2_000)
+    pq.write_table(table, d2, row_group_size=137)  # different bytes on disk
+
+    from elasticsearch_eslib_spark.sources.tableio import fingerprint_path
+
+    assert fingerprint_path(d1) != fingerprint_path(d2)  # file fp differs
+    fp1 = batch_content_fingerprint(spark.read.parquet(d1))
+    fp2 = batch_content_fingerprint(spark.read.parquet(d2))
+    assert fp1 == fp2  # content fp does not
+
+    m1 = append_index(spark, d1, idx_dir, batch_fingerprint=fp1)
+    assert m1.get("skipped") is not True and m1["epoch"] == 1
+    m2 = append_index(spark, d2, idx_dir, batch_fingerprint=fp2)
+    assert m2["skipped"] is True and m2["epoch"] == 1
+    assert Index(spark, idx_dir).n_docs == 500
+
+
+def test_compact_aborts_on_concurrent_append(spark, tmp_path):
+    """Single-writer compaction is VERIFIED at the commit point: an append
+    landing mid-compaction makes compact_index abort with the destination
+    uncommitted (unreadable as an index); a rerun over the settled source
+    then succeeds and serves all epochs."""
+    from elasticsearch_eslib_spark.plans.compact_index import (
+        CompactionConflict, compact_index,
+    )
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 300)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 300, 450)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 450, 600)
+    idx_dir = os.path.join(root, "idx")
+    dst = os.path.join(root, "dst")
+    build_index(spark, a, idx_dir)
+    append_index(spark, b, idx_dir)
+
+    with pytest.raises(CompactionConflict):
+        compact_index(spark, idx_dir, dst,
+                      pre_commit_hook=lambda: append_index(
+                          spark, c, idx_dir))
+    with pytest.raises(Exception):  # dst has no committed stats/postings
+        Index(spark, dst)
+
+    # the mid-run append committed normally on the source; a rerun of the
+    # compaction (now covering all three chunks) succeeds
+    m = compact_index(spark, idx_dir, dst)
+    assert m["n_docs"] == 600
+    assert (_url_scores(spark, dst, "wand")
+            == _url_scores(spark, idx_dir, "wand"))

@@ -109,3 +109,28 @@ def test_bit_widths_match_int_bit_length():
     for vals in (edge, rand):
         ref = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
         assert (C._bit_widths(vals) == ref).all()
+
+
+def test_small_stream_respects_block_size():
+    """The pure-Python small-stream fast path must not swallow an explicit
+    sub-_SMALL_N block_size: 20 postings at block_size=8 yield 3 blocks
+    with per-block metadata, not one oversized block (round-4 fix)."""
+    import numpy as np
+
+    from elasticsearch_eslib_spark.functions.codec import (
+        decode_posting_block, encode_posting_blocks,
+    )
+
+    d = np.arange(1, 21) * 3
+    t = np.arange(1, 21)
+    dl = np.full(20, 7)
+    blocks = encode_posting_blocks(d, t, dl, block_size=8)
+    assert [b["n_docs"] for b in blocks] == [8, 8, 4]
+    assert [b["block_max_tf"] for b in blocks] == [8, 16, 20]
+    got = []
+    for b in blocks:
+        dd, tt, ll = decode_posting_block(
+            b["first_doc"], b["doc_deltas"], b["tfs"], b["dls"])
+        assert b["first_doc"] == dd[0] and b["last_doc"] == dd[-1]
+        got.extend(dd.tolist())
+    assert got == d.tolist()

@@ -411,3 +411,24 @@ def test_events_hourly_matches_manual(spark):
     total_n = sum(r["n"] for r in rows)
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert total_n == n_events
+
+
+def test_stale_near_dup_pin_rejected(tmp_path, spark):
+    """A pinned plane count recorded for one embeddings-table state must
+    not be silently reused after the table changes: the sidecar's
+    fingerprint is validated at read time (round-4 fix) and a mismatch
+    falls back to None (fresh count)."""
+    from elasticsearch_eslib_spark.operators.similarity import (
+        pin_near_dup_planes, pinned_near_dup_planes,
+    )
+    from elasticsearch_eslib_spark.sources.tableio import fingerprint_path
+
+    meta = str(tmp_path / "emb_meta")
+    n = pin_near_dup_planes(spark, SF, meta)
+    fp_now = fingerprint_path(f"{SF}/embeddings.parquet")
+    assert pinned_near_dup_planes(meta, expect_fingerprint=fp_now) == n
+    # table rewritten/regrown → different fingerprint → pin is stale
+    assert pinned_near_dup_planes(
+        meta, expect_fingerprint="0123456789abcdef") is None
+    # legacy sidecars without a fingerprint stay readable
+    assert pinned_near_dup_planes(meta) == n

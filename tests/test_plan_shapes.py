@@ -98,7 +98,7 @@ def test_minhash_signatures_plan_has_no_exchange(spark, tmp_path):
     import pandas as pd
 
     from elasticsearch_eslib_spark.operators.dedup import (
-        _sig_cols, doc_shingle_arrays,
+        doc_shingle_arrays, signatures_of,
     )
 
     pdf = pd.DataFrame({
@@ -109,9 +109,12 @@ def test_minhash_signatures_plan_has_no_exchange(spark, tmp_path):
     p = str(tmp_path / "docs.parquet")
     pdf.to_parquet(p)
     docs = spark.read.parquet(p)
-    sigs = doc_shingle_arrays(docs, do_spread=False).select(
-        "doc_id", *_sig_cols())
-    assert "Exchange" not in _fmt(sigs)
+    sigs = signatures_of(doc_shingle_arrays(docs, do_spread=False))
+    plan = _fmt(sigs)
+    assert "Exchange" not in plan
+    # the md5 base-hash subtree must appear ONCE (its own projection), not
+    # inlined 8× into the sig expressions (cold-compile blowup)
+    assert plan.count("md5") <= 2
 
 
 def test_ann_bruteforce_broadcasts_queries(spark):

@@ -226,3 +226,38 @@ def test_stream_index_append_builds_live_index(spark, tmp_path):
     q2.awaitTermination()
     assert committed_epochs(open_tableio(spark, live)) == [1, 2]
     assert Index(spark, live).n_docs == 520
+
+
+def test_index_append_sink_redelivery_no_duplicates(spark, tmp_path):
+    """foreachBatch redelivery of a committed epoch (crash after the index
+    append but before the stream checkpoint commit) must be a no-op. The
+    staged rewrite mints NEW parquet part names, so the round-3 file-name
+    fingerprint saw a 'different' batch and appended it again (duplicate
+    docs, inflated n_docs); the sink now keys the append by batch CONTENT
+    fingerprint."""
+    from elasticsearch_eslib_spark.fixtures import gen_pages_range
+    from elasticsearch_eslib_spark.plans.build_index import (
+        Index, build_index, committed_epochs,
+    )
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+    from elasticsearch_eslib_spark.streaming.ingest import index_append_sink
+
+    import pandas as pd
+
+    base = str(tmp_path / "base" / "pages.parquet")
+    os.makedirs(os.path.dirname(base))
+    spark.createDataFrame(gen_pages_range(0, 200)).write.parquet(base)
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, base, idx_dir)
+
+    delta = spark.createDataFrame(gen_pages_range(200, 320))
+    sink = index_append_sink(idx_dir, str(tmp_path / "stage"))
+    sink(delta, 0)
+    io = open_tableio(spark, idx_dir)
+    assert committed_epochs(io) == [1]
+    assert Index(spark, idx_dir).n_docs == 320
+
+    sink(delta, 0)  # redelivered epoch: same content, re-staged files
+    io2 = open_tableio(spark, idx_dir)
+    assert committed_epochs(io2) == [1]
+    assert Index(spark, idx_dir).n_docs == 320
