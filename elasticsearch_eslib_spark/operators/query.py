@@ -145,6 +145,18 @@ WAND_MAX_RANGES = 1024
 WAND_RANGE_FLOOR_DOCS = WAND_RANGE_MIN_DOCS // 8
 
 
+def ranged_blocks(blocks: DataFrame, width: int) -> DataFrame:
+    """One row per (block, doc-id range) the block's [first_doc, last_doc]
+    span overlaps — the shipping rule of range-partitioned WAND. Split out
+    of topk_wand so tests can pin the per-task posting ceiling directly:
+    no (query, range) group may ever hold a head term's full posting list
+    (the single-task memory blow-up the partitioning exists to prevent)."""
+    return blocks.withColumn(
+        "range_id", F.explode(F.sequence(
+            (F.col("first_doc") / width).cast("int"),
+            (F.col("last_doc") / width).cast("int"))))
+
+
 class _TermCursor:
     """Cursor over one query term's blocks, lazily decoded.
 
@@ -374,10 +386,7 @@ def topk_wand(queries: DataFrame, terms: DataFrame, postings: DataFrame,
         return grouped.groupBy("query_id").applyInPandas(
             _wand, schema=schemas.TOPK_RESULT)
 
-    ranged = grouped.withColumn(
-        "range_id", F.explode(F.sequence(
-            (F.col("first_doc") / width).cast("int"),
-            (F.col("last_doc") / width).cast("int"))))
+    ranged = ranged_blocks(grouped, width)
 
     def _wand_range(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:

@@ -159,3 +159,40 @@ def test_duckdb_sql_bm25_matches_oracle(pages_parquet, oracle_index):
     assert [d for d, _ in got] == [d for _, d, _ in expected]
     for (_, s_got), (_, _, s_exp) in zip(got, expected):
         assert abs(s_got - s_exp) < 1e-9
+
+
+def test_ranged_blocks_pin_per_task_posting_ceiling(spark):
+    """Head-term serve-path ceiling (the serve analog of build-side
+    salting): for a term with df = N/2 over N = 100k docs, range-
+    partitioned WAND ships each (query, range) task at most
+    df/n_ranges + one boundary block of the term's postings — no task
+    ever holds the full posting list. Pinned against the REAL codec block
+    layout (encode_posting_blocks), not a synthetic approximation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_eslib_spark.config import BLOCK_SIZE
+    from elasticsearch_eslib_spark.functions.codec import encode_posting_blocks
+    from elasticsearch_eslib_spark.operators.query import ranged_blocks
+
+    n_docs = 100_000
+    doc_ids = np.arange(1, n_docs + 1, 2)  # every 2nd doc → df = 50k
+    df_term = len(doc_ids)
+    blocks = encode_posting_blocks(
+        doc_ids, np.ones(df_term, dtype=np.int64),
+        np.full(df_term, 30, dtype=np.int64))
+    rows = [(1, int(b["first_doc"]), int(b["last_doc"]), int(b["n_docs"]))
+            for b in blocks]
+    bdf = spark.createDataFrame(
+        rows, "term_id long, first_doc long, last_doc long, n_docs int")
+    n_ranges = 8
+    width = max(1, (n_docs + n_ranges) // n_ranges)
+    per = (ranged_blocks(bdf, width)
+           .groupBy("range_id")
+           .agg(F.sum("n_docs").alias("postings")).collect())
+    assert len(per) == n_ranges          # the head term spans every range
+    # fair share + block-granularity rounding + one boundary block
+    ceiling = df_term // n_ranges + 2 * BLOCK_SIZE
+    assert max(r["postings"] for r in per) <= ceiling
+    # shipping duplication is bounded: Σ per-range ≤ df + one block/boundary
+    assert sum(r["postings"] for r in per) <= df_term + n_ranges * BLOCK_SIZE
