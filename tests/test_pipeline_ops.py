@@ -432,3 +432,41 @@ def test_stale_near_dup_pin_rejected(tmp_path, spark):
         meta, expect_fingerprint="0123456789abcdef") is None
     # legacy sidecars without a fingerprint stay readable
     assert pinned_near_dup_planes(meta) == n
+
+
+def test_minhash_signature_memo_invalidates_on_table_change(spark, tmp_path):
+    """The per-session signature memo is keyed by the documents-table
+    fingerprint: rewriting the table must yield FRESH signatures (and
+    release the stale cache), never the memoized ones."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from elasticsearch_eslib_spark.operators.dedup import (
+        corpus_minhash_signatures,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta epsilon zeta"] * 2,
+        "lang": ["en"] * 2, "n_chars": [36] * 2,
+    }).to_parquet(f"{sf}/documents.parquet")
+    s1 = corpus_minhash_signatures(spark, sf)
+    v1 = {r["doc_id"]: r["sig_0"] for r in s1.collect()}
+    assert s1 is corpus_minhash_signatures(spark, sf)  # memo hit
+
+    shutil.rmtree(f"{sf}/documents.parquet", ignore_errors=True)
+    os.remove(f"{sf}/documents.parquet") if os.path.exists(
+        f"{sf}/documents.parquet") else None
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["one two three four five six seven"] * 2,
+        "lang": ["en"] * 2, "n_chars": [33] * 2,
+    }).to_parquet(f"{sf}/documents.parquet")
+    s2 = corpus_minhash_signatures(spark, sf)
+    assert s2 is not s1  # stale entry evicted, fresh pipeline
+    v2 = {r["doc_id"]: r["sig_0"] for r in s2.collect()}
+    assert v1[1] != v2[1]  # new content → new signatures
