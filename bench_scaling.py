@@ -165,6 +165,7 @@ def main() -> None:
         "pass": eff >= 0.8,
         "load_avg_at_start": os.getloadavg()[1],
         "cpu_microbench_eff": _cpu_microbench_eff(),
+        "bw_microbench_eff": _bw_microbench_eff(),
     }
     if p95:
         result["query_p95_ms"] = p95
@@ -201,6 +202,29 @@ def _cpu_microbench_eff() -> float:
     run(lo)  # warm the pool-spawn path
     t_lo, t_hi = run(lo), run(hi)
     return round(t_lo / t_hi, 3)
+
+
+def _bw_microbench_eff() -> float:
+    """Shared-memory-BANDWIDTH N-vs-4N envelope (fixed total work, numpy
+    stream copies): what a bytes-bound workload can demonstrate between
+    the two levels on this box right now. Recorded next to the pure-ALU
+    envelope because the two bound different fractions of the build (the
+    round-4 finding: this single-socket VM's bandwidth saturates at ~2
+    streaming processes — see bench_membw.py / BENCH/BASELINE.md)."""
+    import multiprocessing as mp
+
+    from bench_membw import _stream
+
+    lo, hi = LEVELS
+
+    def run(procs):
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_stream, range(16))
+            return time.time() - t0
+
+    run(lo)  # warm pool-spawn + allocator
+    return round((run(lo) / run(hi)) / (hi / lo), 3)
 
 
 def _write_report(result: dict, zip_path: str) -> None:
