@@ -377,3 +377,50 @@ def test_compact_aborts_on_concurrent_append(spark, tmp_path):
     assert m["n_docs"] == 600
     assert (_url_scores(spark, dst, "wand")
             == _url_scores(spark, idx_dir, "wand"))
+
+
+def test_append_onto_legacy_index_falls_back_to_scans(spark, tmp_path):
+    """An index built BEFORE the O(delta) metadata existed (no max_doc_id
+    stage metric, no block_offs table) must still accept appends via the
+    corpus-scan fallback — and the epoch it commits writes the metadata
+    forward, so the NEXT append takes the O(delta) path."""
+    import json
+    import shutil
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 300)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 300, 500)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 500, 650)
+    abc = _write_range(os.path.join(root, "abc", "pages.parquet"), 0, 650)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+
+    # strip the round-4 metadata → the on-disk shape of a legacy index
+    shutil.rmtree(os.path.join(idx_dir, "block_offs"))
+    man_path = os.path.join(idx_dir, "_manifest.json")
+    with open(man_path) as fh:
+        man = json.load(fh)
+    for st in man["stages"].values():
+        st.get("metrics", {}).pop("max_doc_id", None)
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+
+    m1 = append_index(spark, b, idx_dir)  # legacy fallback path
+    assert m1.get("skipped") is not True and m1["epoch"] == 1
+
+    # epoch 1 wrote max_doc_id + block_offs_a1 forward: the next append
+    # must succeed with the prior corpus tables REMOVED (O(delta) path)
+    hidden = {}
+    for t in ("docs", "postings", "docs_a1", "postings_a1"):
+        src = os.path.join(idx_dir, t)
+        hidden[t] = src + ".hidden"
+        shutil.move(src, hidden[t])
+    m2 = append_index(spark, c, idx_dir)
+    assert m2.get("skipped") is not True and m2["epoch"] == 2
+    for t, h in hidden.items():
+        shutil.move(h, os.path.join(idx_dir, t))
+
+    cold_dir = os.path.join(root, "idx_cold")
+    build_index(spark, abc, cold_dir)
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, cold_dir, "wand"))
