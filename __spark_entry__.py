@@ -84,7 +84,12 @@ def _lifecycle_index(spark: SparkSession, sf_dir: str, mode: str) -> str:
     work = os.path.join(tempfile.gettempdir(), f"eslib_idx_v2_{fp}")
     index_dir = os.path.join(work, {"cold": "index", "appended": "index_app",
                                     "compacted": "index_cmp"}[mode])
-    if os.path.exists(os.path.join(index_dir, "_manifest.json")):
+    # gate on a marker written only after the FULL lifecycle finished —
+    # _manifest.json appears at the first stage commit, so a run killed
+    # between build_index(p1) and append_index(p2) would leave a
+    # half-corpus index that a manifest-existence check wrongly accepts
+    done_marker = os.path.join(index_dir, "_LIFECYCLE_DONE")
+    if os.path.exists(done_marker):
         return index_dir
     docs = spark.read.parquet(docs_path)
     if mode == "cold":
@@ -108,6 +113,8 @@ def _lifecycle_index(spark: SparkSession, sf_dir: str, mode: str) -> str:
 
         compact_index(spark, _lifecycle_index(spark, sf_dir, "appended"),
                       index_dir)
+    with open(done_marker, "w") as fh:
+        fh.write(mode)
     return index_dir
 
 

@@ -142,10 +142,11 @@ def main() -> None:
     p50 = {t: statistics.median(w) for t, w in walls.items()}
 
     # per-range posting ceiling of the head term, from the real index
+    from elasticsearch_eslib_spark.operators.query import wand_auto_ranges
+
     head_tid = idx.terms.where(F.col("term") == HEAD).collect()[0]
-    n_ranges_auto = max(
-        spark.sparkContext.defaultParallelism,
-        min(1024, idx.n_docs // 65_536))
+    head_df = int(head_tid["df"])
+    n_ranges_auto = wand_auto_ranges(head_df)
     width = max(1, (idx.n_docs + n_ranges_auto) // n_ranges_auto)
     hblocks = idx.postings.where(
         F.col("term_id") == head_tid["term_id"]).select(

@@ -55,20 +55,38 @@ def analyze_queries(queries: DataFrame) -> DataFrame:
 
 def resolve_query_terms(qterms: DataFrame, terms: DataFrame,
                         n_docs: int) -> DataFrame:
-    """Q2: attach term_id/df/idf. Unknown terms drop out (inner join)."""
+    """Q2: attach term_id/df/idf. Unknown terms drop out (inner join).
+
+    The matched vocabulary rows (≤ #query terms — driver metadata, like
+    the term list itself) are collected once and re-broadcast as a local
+    relation: downstream consumers (fetch_postings' prune list, the WAND
+    fan-out rule keyed on max df) read them straight off the returned
+    DataFrame's `_resolved_term_ids` / `_resolved_max_df` instead of each
+    paying another action that would re-run the analyze+join pipeline."""
+    spark = qterms.sparkSession
     term_list = [r["term"] for r in qterms.select("term").distinct().collect()]
-    matched = terms.where(F.col("term").isin(term_list)) \
-                   .select("term", "term_id", "df")
-    return (qterms.join(F.broadcast(matched), "term")
-            .withColumn("idf", F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)))
+    matched_rows = (terms.where(F.col("term").isin(term_list))
+                    .select("term", "term_id", "df").collect()
+                    if term_list else [])
+    matched = spark.createDataFrame(
+        matched_rows, "term string, term_id long, df long")
+    resolved = (qterms.join(F.broadcast(matched), "term")
+                .withColumn("idf", F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0)))
+    resolved._resolved_term_ids = sorted(  # noqa: SLF001
+        {int(r["term_id"]) for r in matched_rows})
+    resolved._resolved_max_df = max(  # noqa: SLF001
+        (int(r["df"]) for r in matched_rows), default=0)
+    return resolved
 
 
 def fetch_postings(postings: DataFrame, resolved: DataFrame) -> DataFrame:
     """Q3: pruned postings scan for the resolved term ids."""
-    tids = [r["term_id"] for r in
-            resolved.select("term_id").distinct().collect()]
+    tids = getattr(resolved, "_resolved_term_ids", None)
+    if tids is None:  # resolved built outside resolve_query_terms (tests)
+        tids = [r["term_id"] for r in
+                resolved.select("term_id").distinct().collect()]
     buckets = sorted({t % N_POSTING_BUCKETS for t in tids})
     df = postings
     if "p_bucket" in postings.columns:
@@ -129,20 +147,31 @@ def topk_exhaustive(queries: DataFrame, terms: DataFrame, postings: DataFrame,
 _INF = float("inf")
 _END = 2**62
 
-# range-partitioned WAND sizing: one partial-WAND task per ~this many docs
-# of the corpus (reusing the doc-range idea of E7's salting). At 10^12 docs
-# the cap yields 1024 ranges (~10^9 docs each) — per-task postings for a
-# df≈N/10 head term land near 10^8 entries; raise n_ranges explicitly for
-# hotter heads. Below the MIN the corpus fits one task and partitioning
-# would only add scheduling overhead.
-WAND_RANGE_MIN_DOCS = 65_536
+# range-partitioned WAND sizing, keyed on the resolved query terms' MAX
+# df — the postings volume the slowest task would sequentially chew — not
+# on corpus size. BENCH/wand_stress.json pins the crossover: at df=500k a
+# 32-range fan-out measured 0.73× (37% SLOWER) than single-task because
+# the fan-out's fixed cost (block explode+shuffle, per-group applyInPandas
+# setup, merge window ≈ 1.2 s on this box) exceeds the ~0.5 s of
+# sequential WAND work it parallelizes; at df=5.4M with ~59k postings/task
+# the same fan-out measured 2.11× FASTER. So: below SPLIT_MIN_DF run one
+# task per query; above it, one range per ~TARGET_POSTINGS_PER_TASK of the
+# max-df term (the measured sweet spot), capped at MAX_RANGES. At 10^12
+# docs a df≈N/10 head term hits the cap → ~10^8 postings/task; raise
+# n_ranges explicitly for hotter heads.
+WAND_TARGET_POSTINGS_PER_TASK = 65_536
+WAND_SPLIT_MIN_DF = 2_000_000
 WAND_MAX_RANGES = 1024
-# under-parallel guard: when the doc-count rule yields fewer ranges than
-# the cluster has slots, a serve job with few queries leaves most of the
-# machine idle and one straggler group sets the wall clock (measured at
-# 600k docs / 32 cores: 9 ranges → WAND p50 SLOWER than at 6M docs with 91
-# ranges). Ranges then shrink down to this floor to fill the slots.
-WAND_RANGE_FLOOR_DOCS = WAND_RANGE_MIN_DOCS // 8
+
+
+def wand_auto_ranges(max_df: int) -> int:
+    """The auto fan-out rule (see the constants block above): single task
+    below the measured work/overhead crossover, else sized so the heaviest
+    term's postings split into ~TARGET-sized chunks."""
+    if max_df < WAND_SPLIT_MIN_DF:
+        return 1
+    return max(2, min(WAND_MAX_RANGES,
+                      max_df // WAND_TARGET_POSTINGS_PER_TASK))
 
 
 def ranged_blocks(blocks: DataFrame, width: int) -> DataFrame:
@@ -327,9 +356,11 @@ def topk_wand(queries: DataFrame, terms: DataFrame, postings: DataFrame,
 
     A single WAND task per query would hold EVERY posting block of every
     query term — fatal for a head term at 10^12 docs. Instead the doc-id
-    space is cut into `n_ranges` ranges (defaults: one per
-    WAND_RANGE_MIN_DOCS docs, capped at WAND_MAX_RANGES; 1 for small
-    corpora). Each block row is shipped to the range(s) its [first_doc,
+    space is cut into `n_ranges` ranges (default: keyed on the resolved
+    terms' max df — 1 below WAND_SPLIT_MIN_DF, else one range per
+    ~WAND_TARGET_POSTINGS_PER_TASK postings of the heaviest term, capped
+    at WAND_MAX_RANGES; constants measured in BENCH/wand_stress.json).
+    Each block row is shipped to the range(s) its [first_doc,
     last_doc] span overlaps (blocks are ~BLOCK_SIZE docs, so boundary
     duplication is negligible), partial WAND runs per (query_id, range_id)
     with [lo, hi) cursor bounds, and a final window merges the per-range
@@ -354,11 +385,11 @@ def topk_wand(queries: DataFrame, terms: DataFrame, postings: DataFrame,
                     F.col("block_max_raw") * F.col("idf")
                     * F.lit(drift * (1.0 + 1e-12))))
     if n_ranges is None:
-        n_ranges = min(WAND_MAX_RANGES, n_docs // WAND_RANGE_MIN_DOCS)
-        slots = queries.sparkSession.sparkContext.defaultParallelism
-        if n_ranges < slots:
-            n_ranges = min(slots, n_docs // max(1, WAND_RANGE_FLOOR_DOCS))
-        n_ranges = max(1, n_ranges)
+        max_df = getattr(resolved, "_resolved_max_df", None)
+        if max_df is None:  # resolved built by hand (tests)
+            max_df = int(resolved.agg(
+                F.max("df")).collect()[0][0] or 0)
+        n_ranges = wand_auto_ranges(int(max_df))
     # doc ids are dense 1..n_docs (E3); width covers the full id space
     width = max(1, (n_docs + n_ranges) // n_ranges)
 

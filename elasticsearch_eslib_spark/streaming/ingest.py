@@ -198,14 +198,18 @@ def stream_socket_pages_ingest(spark: SparkSession, host: str, port: int,
 
 def batch_content_fingerprint(df: DataFrame) -> str:
     """Order-independent CONTENT fingerprint of a pages batch: row count +
-    bit_xor of per-row xxhash64(url, html). Identical content → identical
-    fingerprint no matter how the rows are laid out in files — which a
-    file-name/size fingerprint (tableio.fingerprint_path) cannot give,
-    because every parquet rewrite mints fresh job-UUID part names. One
-    partial-aggregated pass over the (delta-sized) batch."""
+    bit_xor of per-row xxhash64(url, html, lang). Identical content →
+    identical fingerprint no matter how the rows are laid out in files —
+    which a file-name/size fingerprint (tableio.fingerprint_path) cannot
+    give, because every parquet rewrite mints fresh job-UUID part names.
+    `lang` is part of the hash because tokenization (analyzer/stopword
+    chain) depends on it: a batch with identical (url, html) but a
+    different lang produces DIFFERENT postings and must not be skipped as
+    an already-committed duplicate. One partial-aggregated pass over the
+    (delta-sized) batch."""
     row = df.agg(
         F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(url, html))"),
+        F.coalesce(F.expr("bit_xor(xxhash64(url, html, lang))"),
                    F.lit(0)).alias("h")).collect()[0]
     return f"c{int(row['n'])}x{int(row['h']) & (1 << 64) - 1:016x}"
 

@@ -196,3 +196,50 @@ def test_ranged_blocks_pin_per_task_posting_ceiling(spark):
     assert max(r["postings"] for r in per) <= ceiling
     # shipping duplication is bounded: Σ per-range ≤ df + one block/boundary
     assert sum(r["postings"] for r in per) <= df_term + n_ranges * BLOCK_SIZE
+
+
+def test_wand_auto_ranges_rule():
+    """Pin the df-keyed auto fan-out (BENCH/wand_stress.json crossover):
+    single-task below the measured work/overhead break-even, TARGET-sized
+    ranges above it, capped. A corpus-size-keyed rule regressed 37% on
+    mid-size indexes (round-4 finding) — this pins the fix."""
+    from elasticsearch_eslib_spark.operators.query import (
+        WAND_MAX_RANGES, WAND_SPLIT_MIN_DF, WAND_TARGET_POSTINGS_PER_TASK,
+        wand_auto_ranges,
+    )
+
+    # tail terms and the measured 1M-doc stress point (df=500k, where the
+    # 32-range fan-out LOST 0.73x) stay single-task
+    assert wand_auto_ranges(0) == 1
+    assert wand_auto_ranges(500_000) == 1
+    assert wand_auto_ranges(WAND_SPLIT_MIN_DF - 1) == 1
+    # the measured 6M-doc stress point (df=5.4M, ranged won 2.11x at ~59k
+    # postings/task) splits near the measured sweet spot
+    n = wand_auto_ranges(5_400_000)
+    assert 2 <= n <= WAND_MAX_RANGES
+    per_task = 5_400_000 / n
+    assert WAND_TARGET_POSTINGS_PER_TASK / 2 <= per_task \
+        <= 2 * WAND_TARGET_POSTINGS_PER_TASK
+    # a 10^11-df head term hits the cap (per-task stays bounded by cap)
+    assert wand_auto_ranges(10**11) == WAND_MAX_RANGES
+
+
+def test_wand_auto_uses_resolved_max_df(spark, built_index, queries_df):
+    """End-to-end: the auto path consults the resolved terms' max df (all
+    fixture terms are tail -> one task per query) and still matches the
+    exhaustive path exactly."""
+    from elasticsearch_eslib_spark.operators.query import (
+        topk_exhaustive, topk_wand,
+    )
+    from elasticsearch_eslib_spark.plans.build_index import Index
+
+    index_dir, _ = built_index
+    idx = Index(spark, index_dir)
+    wand = topk_wand(queries_df, idx.terms, idx.postings,
+                     idx.n_docs, idx.avg_dl)  # n_ranges=None -> auto
+    exh = topk_exhaustive(queries_df, idx.terms, idx.postings,
+                          idx.n_docs, idx.avg_dl)
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect())
+    assert key(wand) == key(exh)
