@@ -83,6 +83,18 @@ def get_spark(app_name: str = "eslib-spark", master: str | None = None,
         # are already aggregated/filtered to near-nothing, so scanning all
         # partitions in ONE job is strictly better at any scale.
         .config("spark.sql.limit.initialNumPartitions", "10000")
+        # bytes are the scarce resource, not CPU: the round-4 scaling
+        # decomposition (BENCH/membw_envelope.json) measured the engine
+        # ~20% bytes-bound against a 0.32 streaming-memory envelope on a
+        # single socket, while ALU-bound work scaled at 0.96. zstd
+        # compresses the shuffle/spill stream ~1.5-2× tighter than the
+        # lz4 default at a CPU cost that parallelizes perfectly — the
+        # right trade on any bandwidth-constrained node, and strictly
+        # fewer bytes over the network fabric on a real cluster.
+        .config("spark.io.compression.codec", "zstd")
+        # same trade for the inter-stage tables (tokenized is written once
+        # and scanned by S2/S3/S4): zstd parquet over default snappy
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # local corpora arrive as a handful of big parquet files; the
         # default 128MB split gives a 2-3-task scan that serializes the
         # Arrow/Python extract stage. 8MB splits keep the scan as parallel

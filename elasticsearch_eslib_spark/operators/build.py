@@ -26,11 +26,11 @@ Scale notes (the design decisions that matter at 10^12 docs):
   * S4 shuffle width (measured profile note): the big shuffle carries dl
     per POSTING (it repeats per doc df times) because the encoder needs it
     block-locally. The alternative — shuffling (term_id, doc_id, tf) and
-    rejoining dl per range at encode time — saves ~4 bytes/posting but
-    adds a second shuffle of the postings stream; at lz4-compressed
-    shuffle sizes the repeat compresses well, so the single-shuffle layout
-    wins. Revisit only if shuffle volume, not CPU, binds on the target
-    cluster.
+    rejoining dl per range at encode time — saves bytes per posting but
+    adds a second shuffle of the postings stream, so the single-shuffle
+    layout wins. The payload is PACKED pre-exchange into 3 longs
+    (ts = term_id·256+salt, doc_id, tfdl = tf·2³²+dl): 32 B/posting
+    UnsafeRows instead of 48 — see encode_enriched.
 """
 
 from __future__ import annotations
@@ -162,9 +162,10 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
     """
     salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
 
-    # the big shuffle carries only (term_id, doc_id, tf, dl, salt) — idf is
-    # never needed (raw bounds), and df exists here only transiently to
-    # derive the salt
+    # the enriched stream carries only (term_id, doc_id, tf, dl, salt) —
+    # idf is never needed (raw bounds), and df exists here only transiently
+    # to derive the salt; encode_enriched packs these into 3 longs before
+    # the exchange
     enriched = (
         tf.join(terms.select("term", "term_id", "df"), "term")
           .join(docs.select("doc_id", "doc_len"), "doc_id")
@@ -177,6 +178,9 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
                .otherwise(F.lit(0)).alias("salt"))
     )
     return encode_enriched(enriched, n_docs, avg_dl, num_partitions)
+
+
+SALT_PACK = 256  # (term_id, salt) pack width; requires salt < 256
 
 
 def encode_enriched(enriched: DataFrame, n_docs: int, avg_dl: float,
@@ -198,9 +202,29 @@ def encode_enriched(enriched: DataFrame, n_docs: int, avg_dl: float,
             n_conf, (est_tokens + TOKENS_PER_ENCODE_TASK - 1)
             // TOKENS_PER_ENCODE_TASK)
     n_part = num_partitions
-    arranged = (enriched
-                .repartition(n_part, "term_id", "salt")
-                .sortWithinPartitions("term_id", "salt", "doc_id"))
+    # PACK the shuffle payload before the exchange: 5 columns → 3 longs.
+    #   ts   = term_id·256 + salt   (salt < 256: N_SALTS is 16)
+    #   tfdl = tf·2³² + dl
+    # (term_id, salt, doc_id) lexicographic order == (ts, doc_id) order, so
+    # the sort and the hash distribution are unchanged. An UnsafeRow is
+    # 8-byte-aligned per field, so 5 fields = 48 B/posting and 3 = 32 B —
+    # a 33% cut of the bytes every posting pushes through shuffle write,
+    # shuffle read, AND the sorter, on the engine's one data-sized
+    # exchange. The Arrow crossing into the Python encoder shrinks the
+    # same way (3 int64 buffers vs 5). Round-4 measurement motivating
+    # this: the 2v8 scaling gap is a ~20% bytes-bound fraction against a
+    # 0.32 streaming-memory envelope (BENCH/membw_envelope.json) — bytes
+    # per posting is the lever, not parallel structure.
+    assert N_SALTS <= SALT_PACK, "salt must pack into 8 bits"
+    packed = enriched.select(
+        (F.col("term_id") * F.lit(SALT_PACK)
+         + F.col("salt").cast("long")).alias("ts"),
+        "doc_id",
+        (F.col("tf").cast("long") * F.lit(1 << 32)
+         + F.col("dl").cast("long")).alias("tfdl"))
+    arranged = (packed
+                .repartition(n_part, "ts")
+                .sortWithinPartitions("ts", "doc_id"))
 
     import math as _math
     k1, b = BM25_K1, BM25_B
@@ -233,34 +257,34 @@ def encode_enriched(enriched: DataFrame, n_docs: int, avg_dl: float,
                 blk["term_id"] = term_id
                 out.append(blk)
 
-        cur = None  # (key, [doc chunks], [tf chunks], [dl chunks])
+        cur = None  # (ts key, [doc chunks], [tf chunks], [dl chunks])
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            t = pdf["term_id"].to_numpy(dtype=np.int64)
-            s = pdf["salt"].to_numpy(dtype=np.int64)
+            ts = pdf["ts"].to_numpy(dtype=np.int64)
             d = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tf_a = pdf["tf"].to_numpy(dtype=np.int64)
-            dl_a = pdf["dl"].to_numpy(dtype=np.int64)
-            change = np.nonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1]))[0] + 1
+            tfdl = pdf["tfdl"].to_numpy(dtype=np.int64)
+            tf_a = tfdl >> 32
+            dl_a = tfdl & 0xFFFFFFFF
+            change = np.nonzero(ts[1:] != ts[:-1])[0] + 1
             starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(t)]))
+            ends = np.concatenate((change, [len(ts)]))
             for st, en in zip(starts, ends):
-                key = (int(t[st]), int(s[st]))
+                key = int(ts[st])
                 if cur is not None and cur[0] == key:
                     cur[1].append(d[st:en])
                     cur[2].append(tf_a[st:en])
                     cur[3].append(dl_a[st:en])
                 else:
                     if cur is not None:
-                        flush(cur[0][0], np.concatenate(cur[1]),
+                        flush(cur[0] // SALT_PACK, np.concatenate(cur[1]),
                               np.concatenate(cur[2]), np.concatenate(cur[3]))
                     cur = (key, [d[st:en]], [tf_a[st:en]], [dl_a[st:en]])
             if len(out) > 2000:
                 yield pd.DataFrame(out)
                 out = []
         if cur is not None:
-            flush(cur[0][0], np.concatenate(cur[1]),
+            flush(cur[0] // SALT_PACK, np.concatenate(cur[1]),
                   np.concatenate(cur[2]), np.concatenate(cur[3]))
         if out:
             yield pd.DataFrame(out)

@@ -64,9 +64,10 @@ def test_query_term_lookup_is_broadcast(spark, built_index):
 
 
 def test_encode_shuffle_is_narrow(spark, built_index):
-    """The one corpus-sized shuffle of S4 must carry exactly the five
-    narrow columns — a regression that drags text/arrays through it would
-    multiply shuffle bytes at 100 TB."""
+    """The one corpus-sized shuffle of S4 must carry exactly the three
+    PACKED long columns (ts, doc_id, tfdl) — a regression that widens the
+    payload back to unpacked fields (or drags text/arrays through it)
+    multiplies shuffle bytes at 100 TB."""
     from elasticsearch_eslib_spark.operators.build import term_freqs
     from elasticsearch_eslib_spark.plans.build_index import Index
     from elasticsearch_eslib_spark.sources.tableio import open_tableio
@@ -80,12 +81,12 @@ def test_encode_shuffle_is_narrow(spark, built_index):
     posts = build_postings(term_freqs(tokenized, idx.docs), idx.terms,
                            idx.docs, idx.n_docs, idx.avg_dl)
     plan = _fmt(posts)
-    # the encode repartition keys on (term_id, salt)
-    assert re.search(r"hashpartitioning\(term_id#\d+L, salt#\d+", plan), plan
-    # its input projection is exactly the five narrow columns — no arrays
-    # (terms#/tfs# from tokenized), no text, no url
-    narrow = [p for p in re.findall(r"Output \[5\]: \[([^\]]+)\]", plan)
-              if "salt" in p and "doc_id" in p]
+    # the encode repartition keys on the packed ts = term_id·256 + salt
+    assert re.search(r"hashpartitioning\(ts#\d+L", plan), plan
+    # its input projection is exactly the three packed longs — no unpacked
+    # tf/dl/salt, no arrays (terms#/tfs# from tokenized), no text, no url
+    narrow = [p for p in re.findall(r"Output \[3\]: \[([^\]]+)\]", plan)
+              if "ts#" in p and "doc_id" in p and "tfdl#" in p]
     assert narrow, plan
     for p in narrow:
         assert "terms#" not in p and "url#" not in p, p
