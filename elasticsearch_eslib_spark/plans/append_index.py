@@ -102,8 +102,12 @@ def append_index(spark: SparkSession, pages_path: str,
 
     last_stats = f"stats_a{epochs[-1]}" if epochs else "stats"
     for prev_e in reversed(epochs):
-        if io.stage_metrics(
-                f"stats_a{prev_e}").get("batch_fingerprint") == fp_batch:
+        m_prev = io.stage_metrics(f"stats_a{prev_e}")
+        # merged_batch_fingerprints: a partially-compacted epoch carries
+        # the fingerprints of every batch it absorbed (compact_epochs) —
+        # redelivery of any of them must still be a no-op
+        if (m_prev.get("batch_fingerprint") == fp_batch
+                or fp_batch in m_prev.get("merged_batch_fingerprints", [])):
             return {"skipped": True, "epoch": prev_e,
                     "wall_sec": time.time() - t_start}
 

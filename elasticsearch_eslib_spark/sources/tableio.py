@@ -124,7 +124,11 @@ class ManifestTableIO:
         os.replace(tmp, self.manifest_path)
 
     def table_path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        # alias indirection (partial compaction): a logical table name can
+        # point at a differently-named data dir, so a multi-table swap is
+        # ONE atomic manifest replace instead of non-atomic dir overwrites
+        alias = self.manifest.get("aliases", {}).get(name)
+        return os.path.join(self.root, alias or name)
 
     def is_done(self, stage: str, input_fingerprint: str) -> bool:
         meta = self.manifest["stages"].get(stage)
@@ -208,6 +212,18 @@ class ManifestTableIO:
             self.manifest["lineage"].append(row)
         self._save()
         return snapshot
+
+    def atomic_update(self, mutator) -> None:
+        """Apply `mutator(manifest_dict)` against a FRESHLY-LOADED manifest
+        and save in one atomic os.replace — the multi-stage commit point for
+        operations that must swap several tables/stages together (partial
+        compaction). Reloading first means a concurrent writer's committed
+        manifest is the base, never this process's stale in-memory copy;
+        the mutator is expected to re-verify its preconditions against the
+        fresh state and raise to abort."""
+        self.manifest = self._load()
+        mutator(self.manifest)
+        self._save()
 
     def record_partitions(self, stage: str, input_fingerprint: str,
                           rows: list[dict]) -> None:

@@ -424,3 +424,127 @@ def test_append_onto_legacy_index_falls_back_to_scans(spark, tmp_path):
     build_index(spark, abc, cold_dir)
     assert (_url_scores(spark, idx_dir, "wand")
             == _url_scores(spark, cold_dir, "wand"))
+
+
+def test_compact_epochs_merges_small_suffix_in_place(spark, tmp_path):
+    """Tiered compaction: build(A) + append(B) + append(C) -> merge the
+    two small epochs into one, in place. Answers (WAND and exhaustive)
+    are identical before and after; epoch count drops to 1; both absorbed
+    batch fingerprints survive for exactly-once redelivery; a later
+    append continues as epoch 2 with correct block-id continuation."""
+    from elasticsearch_eslib_spark.plans.build_index import committed_epochs
+    from elasticsearch_eslib_spark.plans.compact_index import compact_epochs
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 400)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 400, 550)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 550, 700)
+    d = _write_range(os.path.join(root, "d", "pages.parquet"), 700, 800)
+    full = _write_range(os.path.join(root, "full", "pages.parquet"), 0, 800)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+    append_index(spark, b, idx_dir)
+    append_index(spark, c, idx_dir)
+
+    before_w = _url_scores(spark, idx_dir, "wand")
+    before_e = _url_scores(spark, idx_dir, "exhaustive")
+
+    # threshold above both epoch sizes (150, 150) but below the base: the
+    # suffix [1, 2] merges into epoch 1
+    m = compact_epochs(spark, idx_dir, max_epoch_docs=200)
+    assert m.get("skipped") is not True
+    assert m["merged_epochs"] == [1, 2] and m["into_epoch"] == 1
+
+    io = open_tableio(spark, idx_dir)
+    assert committed_epochs(io) == [1]
+    assert _url_scores(spark, idx_dir, "wand") == before_w
+    assert _url_scores(spark, idx_dir, "exhaustive") == before_e
+    idx = Index(spark, idx_dir)
+    assert idx.n_docs == 700
+
+    # exactly-once: redelivering either absorbed batch is still a no-op
+    for batch in (b, c):
+        r = append_index(spark, batch, idx_dir)
+        assert r["skipped"] is True and r["epoch"] == 1
+
+    # a fresh batch lands as epoch 2 and the whole thing matches a cold
+    # build over A+B+C+D (block-offs continuation is part of what this
+    # exercises)
+    m2 = append_index(spark, d, idx_dir)
+    assert m2.get("skipped") is not True and m2["epoch"] == 2
+    cold_dir = os.path.join(root, "idx_cold")
+    build_index(spark, full, cold_dir)
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, cold_dir, "wand"))
+
+    # a second tiered pass re-merges epochs 1..2 (epoch 1 itself already
+    # alias-redirected from the first merge)
+    m3 = compact_epochs(spark, idx_dir, max_epoch_docs=500)
+    assert m3.get("skipped") is not True and m3["into_epoch"] == 1
+    assert committed_epochs(open_tableio(spark, idx_dir)) == [1]
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, cold_dir, "wand"))
+
+
+def test_compact_epochs_skips_when_nothing_to_merge(spark, tmp_path):
+    """A suffix of fewer than two small epochs is a no-op (never decodes
+    anything); a threshold below every epoch size is also a no-op."""
+    from elasticsearch_eslib_spark.plans.compact_index import compact_epochs
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 300)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 300, 600)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 600, 700)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+    append_index(spark, b, idx_dir)   # epoch 1: 300 docs
+    append_index(spark, c, idx_dir)   # epoch 2: 100 docs
+
+    # only epoch 2 is under the cap -> suffix of one -> skip
+    assert compact_epochs(spark, idx_dir,
+                          max_epoch_docs=150)["skipped"] is True
+    # nothing under the cap -> skip
+    assert compact_epochs(spark, idx_dir,
+                          max_epoch_docs=10)["skipped"] is True
+
+
+def test_compact_epochs_aborts_on_concurrent_append(spark, tmp_path):
+    """The atomic manifest swap re-verifies the source state: an append
+    committed mid-merge aborts the merge with the index unchanged (old
+    epochs intact, new tables invisible), and a rerun then succeeds."""
+    from elasticsearch_eslib_spark.plans.build_index import committed_epochs
+    from elasticsearch_eslib_spark.plans.compact_index import (
+        CompactionConflict, compact_epochs,
+    )
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 300)
+    b = _write_range(os.path.join(root, "b", "pages.parquet"), 300, 400)
+    c = _write_range(os.path.join(root, "c", "pages.parquet"), 400, 500)
+    d = _write_range(os.path.join(root, "d", "pages.parquet"), 500, 600)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+    append_index(spark, b, idx_dir)
+    append_index(spark, c, idx_dir)
+
+    with pytest.raises(CompactionConflict):
+        compact_epochs(spark, idx_dir, max_epoch_docs=150,
+                       pre_commit_hook=lambda: append_index(
+                           spark, d, idx_dir))
+    # the mid-run append committed as epoch 3; the merge left no trace
+    # (no aliases, all epochs intact) and the index still self-checks
+    # (WAND == exhaustive over the 4-chunk corpus)
+    io = open_tableio(spark, idx_dir)
+    assert committed_epochs(io) == [1, 2, 3]
+    assert not io.manifest.get("aliases")
+    assert Index(spark, idx_dir).n_docs == 600
+    assert (_url_scores(spark, idx_dir, "wand")
+            == _url_scores(spark, idx_dir, "exhaustive"))
+
+    # rerun over the settled index: merges all three small epochs
+    m = compact_epochs(spark, idx_dir, max_epoch_docs=150)
+    assert m["merged_epochs"] == [1, 2, 3] and m["into_epoch"] == 1
+    assert committed_epochs(open_tableio(spark, idx_dir)) == [1]
+    assert Index(spark, idx_dir).n_docs == 600
