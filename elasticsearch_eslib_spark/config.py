@@ -91,10 +91,12 @@ def get_spark(app_name: str = "eslib-spark", master: str | None = None,
         # lz4 default at a CPU cost that parallelizes perfectly — the
         # right trade on any bandwidth-constrained node, and strictly
         # fewer bytes over the network fabric on a real cluster.
-        .config("spark.io.compression.codec", "zstd")
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         # same trade for the inter-stage tables (tokenized is written once
         # and scanned by S2/S3/S4): zstd parquet over default snappy
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         # local corpora arrive as a handful of big parquet files; the
         # default 128MB split gives a 2-3-task scan that serializes the
         # Arrow/Python extract stage. 8MB splits keep the scan as parallel

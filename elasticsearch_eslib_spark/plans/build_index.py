@@ -96,7 +96,15 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         in_bytes = _dir_bytes(pages_path)
         if n_commit_groups is None:
             n_commit_groups = max(1, min(8, in_bytes // COMMIT_GROUP_BYTES))
-        target = max(4 << 20, min(128 << 20, in_bytes // max(1, n_part)))
+        # split count must OVERSUBSCRIBE the slots (≥4×), not equal them:
+        # `in_bytes // n_part` gave e.g. 9 × 128 MB splits at 8 slots —
+        # every commit group then ran its extraction as 2 waves with a
+        # single-task straggler wave (packing efficiency 9/16), which
+        # showed up as S1 scaling only 2.5× from local[2]→local[8]
+        # (round-5 stage walls). With ~4 tasks per slot the last wave
+        # rounds off instead of dominating, at any executor count.
+        target = max(4 << 20, min(128 << 20,
+                                  in_bytes // max(16, 4 * n_part)))
         spark.conf.set(mpb_key, str(target))
         # bucket on the RAW url so each commit group filters BEFORE the
         # Python extraction (the expensive stage runs exactly once per doc)
