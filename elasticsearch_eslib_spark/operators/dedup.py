@@ -229,9 +229,15 @@ def lsh_oversized_buckets(sigs: DataFrame,
             .where(F.col("n") > max_bucket))
 
 
+# the oversized-bucket set is driver metadata (like query term lists): its
+# size is bounded by corpus/max_bucket; collecting it lets the common
+# no-skew case skip the degradation branches entirely. Above this many
+# oversized buckets the plan stays fully distributed instead.
+_MAX_OVER_DRIVER = 10_000
+
+
 def lsh_candidate_pairs(sigs: DataFrame,
-                        max_bucket: int = MAX_LSH_BUCKET,
-                        distributed_over: bool = False) -> DataFrame:
+                        max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """(doc_a, doc_b) distinct LSH candidates from a minhash signature df.
 
     Banding: N_MINHASH sigs → LSH_BANDS bands of LSH_ROWS; docs sharing any
@@ -241,38 +247,56 @@ def lsh_candidate_pairs(sigs: DataFrame,
     templated near-identical pages is still connected at O(m) pairs instead
     of being silently dropped (the round-2 behavior) or costing O(m²).
 
-    The oversized set rides INSIDE the plan as a broadcast subquery (one
-    aggregated pass, bounded by corpus/max_bucket rows, reused by both the
-    anti-join and the star branch via exchange reuse) — no eager driver
-    probe, so the whole operator is a single lazy plan and its caller pays
-    exactly one action (round 4 paid an extra ~0.3-0.5 s probe collect per
-    invocation). With no oversized buckets the broadcast is empty and the
-    anti-join/star branches are near-free pass-throughs.
+    The oversized set is detected with one groupBy partial-agg count; when
+    it is EMPTY (the common case) the plan short-circuits to the plain
+    within-bucket join — no anti-join/star stages are even planned. When
+    small it ships as a broadcast local relation; only a pathological
+    bucket-count falls back to the fully distributed two-branch plan.
 
-    `distributed_over=True` is the escape hatch for a pathological corpus
-    whose oversized-bucket LIST itself exceeds broadcast capacity (needs
-    > ~10^8 buckets above the cap — i.e. > 10^11 docs ALL in skewed
-    clusters); the same plan then runs with shuffle joins.
+    Contract: the probe is an EAGER .collect() at construction time — it
+    executes the signature pipeline once, and the branch choice is frozen
+    against the data as read then. Callers MUST pass a persisted (or
+    otherwise stable/committed) `sigs`: on an unpersisted input the
+    pipeline would run twice (probe + returned plan) and a concurrent
+    table change could desynchronize the branch choice from the data the
+    returned plan reads. Both in-repo callers persist first.
 
-    Contract: callers should pass a persisted (or otherwise stable/
-    committed) `sigs` — the banding feeds three plan branches, and an
-    unpersisted input would recompute the signature pipeline per branch.
+    Round-5 note: folding the probe into the returned plan as a broadcast
+    subquery (one action instead of two) was tried and MEASURED WORSE —
+    q6 at sf0.1 went 3.0 → 5.5 s — because the eager probe doubles as the
+    persisted-sigs cache materializer: without it, the plan's 3-4 branches
+    race a cold cache inside one job and each recomputes the signature
+    pipeline (a cost that grows with corpus size, while the probe action
+    it saves is a fixed ~0.3-0.5 s). The probe stays.
     """
     banded = _lsh_banded(sigs)
-    over = (banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
-            .where(F.col("n") > max_bucket)
-            .select("band", "bucket", "min_doc"))
-    if not distributed_over:
-        over = F.broadcast(over)
-    small = banded.join(over, ["band", "bucket"], "left_anti")
+    over_plan = (banded.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+                 .where(F.col("n") > max_bucket)
+                 .select("band", "bucket", "min_doc"))
+    over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
+    if not over_rows:
+        return (banded.alias("a").join(banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+    if len(over_rows) <= _MAX_OVER_DRIVER:
+        over = sigs.sparkSession.createDataFrame(
+            over_rows, "band int, bucket long, min_doc long")
+    else:  # pathological: keep the detection distributed
+        over = over_plan
+    small = banded.join(F.broadcast(over.select("band", "bucket")),
+                        ["band", "bucket"], "left_anti")
     full = (small.alias("a").join(small.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
-    star = (banded.join(over, ["band", "bucket"])
+    star = (banded.join(F.broadcast(over), ["band", "bucket"])
             .where(F.col("doc_id") > F.col("min_doc"))
             .select(F.col("min_doc").alias("doc_a"),
                     F.col("doc_id").alias("doc_b")))
@@ -454,46 +478,58 @@ def simhash_pairs_of(sig: DataFrame,
                          F.explode(bands).alias("bb"))
               .select("doc_id", "simhash_hi", "simhash_lo",
                       F.col("bb.band").alias("band"), F.col("bb.v").alias("v")))
-    # the oversized set rides INSIDE the plan as a broadcast subquery —
-    # bounded by construction (each band has only 2^16 values → ≤ 4·65536
-    # rows ≈ 3 MB worst case, always broadcastable), reused by the
-    # anti-join and the recursion branch via exchange reuse. No eager
-    # driver probe: the whole operator is one lazy plan, one action. With
-    # no oversized buckets the broadcast is empty and both degradation
-    # branches are near-free pass-throughs.
-    over = F.broadcast(
-        banded.groupBy("band", "v").agg(F.count("*").alias("n"))
-        .where(F.col("n") > max_bucket).select("band", "v"))
-    # small buckets: plain within-bucket pairing (bounded by the cap)
-    small = (banded.join(over, ["band", "v"], "left_anti")
-             .select("doc_id", "band", "v"))
-    cand_small = (small.alias("a").join(small.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.v") == F.col("b.v"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-                  .select(F.col("a.doc_id").alias("doc_a"),
-                          F.col("b.doc_id").alias("doc_b")))
-    # oversized buckets: recurse on 4 × 12-bit sub-bands of the other
-    # 48 bits
-    sub_structs = F.array(*[
-        F.struct(F.lit(s).alias("s"),
-                 F.shiftright(_simhash_rem48(F.col("band")), 12 * s)
-                 .bitwiseAND(F.lit(4095)).alias("sv"))
-        for s in range(4)])
-    big = (banded.join(over, ["band", "v"])
-           .select("doc_id", "band", "v",
-                   F.explode(sub_structs).alias("ss"))
-           .select("doc_id", "band", "v", F.col("ss.s").alias("s"),
-                   F.col("ss.sv").alias("sv")))
-    cand_big = (big.alias("a").join(big.alias("b"),
+    over_plan = (banded.groupBy("band", "v").agg(F.count("*").alias("n"))
+                 .where(F.col("n") > max_bucket).select("band", "v"))
+    # driver metadata probe (≤ 4·65536 rows by construction — each band has
+    # only 2^16 values): when no bucket is oversized (common case) the plan
+    # short-circuits to the plain band join with zero extra stages. The
+    # probe also MATERIALIZES the persisted sig cache before the main plan
+    # runs — folding it into the plan as a broadcast subquery was measured
+    # 58% slower (q8 4.3 → 6.9 s at sf0.1): the plan's branches then race
+    # a cold cache and each recomputes the corpus-sized 64-agg pipeline.
+    over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
+    if not over_rows:
+        cand = (banded.alias("a").join(banded.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.v") == F.col("b.v"))
-                & (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.sv") == F.col("b.sv"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
                 .select(F.col("a.doc_id").alias("doc_a"),
-                        F.col("b.doc_id").alias("doc_b")))
-    cand = cand_small.unionByName(cand_big).distinct()
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+    else:
+        over = (sig.sparkSession.createDataFrame(
+                    over_rows, "band int, v long")
+                if len(over_rows) <= _MAX_OVER_DRIVER else over_plan)
+        # small buckets: plain within-bucket pairing (bounded by the cap)
+        small = (banded.join(F.broadcast(over), ["band", "v"], "left_anti")
+                 .select("doc_id", "band", "v"))
+        cand_small = (small.alias("a").join(small.alias("b"),
+                      (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.v") == F.col("b.v"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                      .select(F.col("a.doc_id").alias("doc_a"),
+                              F.col("b.doc_id").alias("doc_b")))
+        # oversized buckets: recurse on 4 × 12-bit sub-bands of the other
+        # 48 bits
+        sub_structs = F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.shiftright(_simhash_rem48(F.col("band")), 12 * s)
+                     .bitwiseAND(F.lit(4095)).alias("sv"))
+            for s in range(4)])
+        big = (banded.join(F.broadcast(over), ["band", "v"])
+               .select("doc_id", "band", "v",
+                       F.explode(sub_structs).alias("ss"))
+               .select("doc_id", "band", "v", F.col("ss.s").alias("s"),
+                       F.col("ss.sv").alias("sv")))
+        cand_big = (big.alias("a").join(big.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.v") == F.col("b.v"))
+                    & (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.sv") == F.col("b.sv"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+                    .select(F.col("a.doc_id").alias("doc_a"),
+                            F.col("b.doc_id").alias("doc_b")))
+        cand = cand_small.unionByName(cand_big).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     F.col("simhash_hi").alias("hi_a"),
                     F.col("simhash_lo").alias("lo_a"))
