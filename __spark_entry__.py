@@ -31,6 +31,8 @@ from elasticsearch_eslib_spark.operators import multimodal as _mm  # noqa: E402
 from elasticsearch_eslib_spark.operators import relational as _rel  # noqa: E402
 from elasticsearch_eslib_spark.operators import similarity as _sim  # noqa: E402
 from elasticsearch_eslib_spark.functions import textstats as _ts  # noqa: E402
+from elasticsearch_eslib_spark.sources import graphsink as _gs  # noqa: E402
+from elasticsearch_eslib_spark.sources import webgetter as _wg  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -186,6 +188,29 @@ def _media_features_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_features(spark, sf_dir)
 
 
+_WEB_FETCH_CAP = 60  # bytes — below the fake body size, so truncation bites
+
+
+def _web_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebGetter plumbing end-to-end (deterministic offline fetcher): urls
+    synthesized from doc ids across 37 hosts, fetched via the per-host
+    politeness-partitioned mapInPandas path with a size cap that actually
+    truncates, page html surfaced as text for the value compare."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(F.concat(
+        F.lit("http://host-"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example/d/"), F.col("doc_id").cast("string")).alias("url"))
+    pages = _wg.fetch_pages(urls, max_bytes=_WEB_FETCH_CAP)
+    return pages.select("url", "host", "status", "n_bytes",
+                        F.col("html").cast("string").alias("content"))
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gs.interaction_edges(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # fulltext / index-engine surface
@@ -219,6 +244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _sim.embedding_near_dup,
         # multimodal plumbing
         "media_features": _media_features_named,
+        # fetch / graph-sink plumbing (WebGetter / Neo4jWriter analogs)
+        "web_fetch": _web_fetch,
+        "graph_edges": _graph_edges,
         # events / streaming twins
         "events_hourly": _ev.events_hourly,
         "user_sessions": _ev.user_sessions,
@@ -665,4 +693,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "web_fetch": f"""
+            WITH u AS (
+              SELECT 'http://host-' || CAST(doc_id % 37 AS VARCHAR)
+                     || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            b AS (
+              SELECT url, regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                     substr('<html><body>fetched:' || url || '</body></html>',
+                            1, {_WEB_FETCH_CAP}) AS content
+              FROM u)
+            SELECT url, host, CAST(200 AS INT) AS status,
+                   CAST(length(content) AS BIGINT) AS n_bytes, content
+            FROM b""",
+        "graph_edges": r"""
+            SELECT user_id AS src_user,
+                   CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+                     AS dst_item,
+                   event_type AS rel_type,
+                   count(*)::BIGINT AS weight,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                     AS total_cents
+            FROM events GROUP BY 1, 2, 3""",
     }
