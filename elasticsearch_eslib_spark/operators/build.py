@@ -120,20 +120,40 @@ def assign_doc_ids(tokenized: DataFrame) -> DataFrame:
 
 
 def term_freqs(tokenized: DataFrame, docs: DataFrame) -> DataFrame:
-    """E4: (doc_id, term, tf) — doc ids attached to the PACKED rows (a
-    doc-count-sized join, broadcast-able), then exploded in-flight; the
-    ~100×-larger flat tf stream never exists on disk or in a join build
-    side."""
+    """E4: (doc_id, term, tf, dl) — doc ids attached to the PACKED rows (a
+    doc-count-sized join), then exploded in-flight; the ~100×-larger flat
+    tf stream never exists on disk or in a join build side.
+
+    `dl` rides along from the packed row (one int per DOC pre-explode), so
+    the postings stage never re-joins the corpus-sized docs table on
+    doc_id just to recover doc lengths — at 10^12 docs that second join
+    was a full extra shuffle of the exploded stream."""
     packed = (tokenized.where(F.col("doc_len") > 0)
               .join(docs.select("url", "doc_id"), "url")
-              .select("doc_id", F.arrays_zip("terms", "tfs").alias("tt")))
-    return (packed.select("doc_id", F.explode("tt").alias("e"))
+              .select("doc_id", F.col("doc_len").cast("int").alias("dl"),
+                      F.arrays_zip("terms", "tfs").alias("tt")))
+    return (packed.select("doc_id", "dl", F.explode("tt").alias("e"))
             .select("doc_id", F.col("e.terms").alias("term"),
+                    F.col("e.tfs").cast("int").alias("tf"), "dl"))
+
+
+def term_freqs_nodoc(tokenized: DataFrame) -> DataFrame:
+    """(term, tf) pairs straight off the packed rows — the vocabulary
+    stage aggregates per TERM and never looks at doc ids, so it must not
+    pay term_freqs' corpus-sized url-join with the docs table (both sides
+    shuffle on url; at 10^12 docs that join dominated the terms stage for
+    data the aggregation ignored)."""
+    return (tokenized.where(F.col("doc_len") > 0)
+            .select(F.arrays_zip("terms", "tfs").alias("tt"))
+            .select(F.explode("tt").alias("e"))
+            .select(F.col("e.terms").alias("term"),
                     F.col("e.tfs").cast("int").alias("tf")))
 
 
 def build_terms(tf: DataFrame) -> DataFrame:
-    """E5: vocabulary with document/collection frequencies + dense term ids."""
+    """E5: vocabulary with document/collection frequencies + dense term
+    ids. Accepts any frame with (term, tf) — one row per (doc, term) —
+    typically `term_freqs_nodoc` (no docs join on the vocab path)."""
     vocab = tf.groupBy("term").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("cf"))
@@ -149,7 +169,7 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.avg("doc_len").alias("avg_dl"))
 
 
-def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
+def build_postings(tf: DataFrame, terms: DataFrame,
                    n_docs: int, avg_dl: float,
                    num_partitions: int | None = None,
                    head_df_threshold: int = HEAD_DF_THRESHOLD,
@@ -159,6 +179,9 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
     Output matches schemas.POSTINGS. Head terms are range-salted on doc_id
     so no task ever holds more than ~df_max/n_salts postings; block ids come
     from a window over block rows (cheap: 128× fewer rows than postings).
+
+    `tf` must carry `dl` (term_freqs emits it off the packed rows) — doc
+    lengths never arrive via a second corpus-sized join on doc_id.
     """
     salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
 
@@ -168,11 +191,10 @@ def build_postings(tf: DataFrame, terms: DataFrame, docs: DataFrame,
     # the exchange
     enriched = (
         tf.join(terms.select("term", "term_id", "df"), "term")
-          .join(docs.select("doc_id", "doc_len"), "doc_id")
           .select(
               "term_id", "doc_id",
               F.col("tf").cast("int").alias("tf"),
-              F.col("doc_len").cast("int").alias("dl"),
+              F.col("dl").cast("int").alias("dl"),
               F.when(F.col("df") > head_df_threshold,
                      (F.col("doc_id") / salt_width).cast("int"))
                .otherwise(F.lit(0)).alias("salt"))

@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_eslib_spark.operators.build import (
     TOKENS_PER_ENCODE_TASK, assign_doc_ids, build_postings,
-    extract_analyze_tf, term_freqs,
+    extract_analyze_tf, term_freqs, term_freqs_nodoc,
 )
 from elasticsearch_eslib_spark.operators.ids import (
     assign_dense_ids, unpersist_ids,
@@ -176,14 +176,14 @@ def append_index(spark: SparkSession, pages_path: str,
     n_tot = n_prev + n_new
     avgdl_tot = ((avgdl_prev * n_prev + dl_new) / n_tot) if n_tot else 0.0
 
-    tf_delta = term_freqs(tokenized, docs_delta)
-
     # ------------------------------------------------------------- A3
     st3 = f"terms{sfx}"
     s3_fp = s2_fp + ":" + io.stage_snapshot(st2)
     if not io.is_done(st3, s3_fp):
         old = io.read(prev_terms)
-        vocab_d = tf_delta.groupBy("term").agg(
+        # delta vocabulary straight off the packed rows — no docs_delta
+        # join on the vocab path (same shuffle-skip as the cold build's S3)
+        vocab_d = term_freqs_nodoc(tokenized).groupBy("term").agg(
             F.count("*").alias("df_d"), F.sum("tf").alias("cf_d"))
         max_tid = int(old.agg(F.max("term_id")).collect()[0][0] or 0)
         merged_known = (old.join(vocab_d, "term", "left")
@@ -211,8 +211,8 @@ def append_index(spark: SparkSession, pages_path: str,
         n_part = max(n_conf, (dl_new + TOKENS_PER_ENCODE_TASK - 1)
                      // TOKENS_PER_ENCODE_TASK)
         delta_posts = build_postings(
-            tf_delta, terms_merged, docs_delta, n_tot, avgdl_tot,
-            num_partitions=n_part)
+            term_freqs(tokenized, docs_delta), terms_merged,
+            n_tot, avgdl_tot, num_partitions=n_part)
         # continue block ids after each term's existing blocks. O(delta +
         # vocab) path: the previous epoch's block_offs table (one row per
         # term, rewritten alongside terms each epoch) carries the running

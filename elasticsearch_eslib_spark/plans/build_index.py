@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_eslib_spark.operators.build import (
     assign_doc_ids, build_postings, build_terms,
-    extract_analyze_tf, term_freqs,
+    extract_analyze_tf, term_freqs, term_freqs_nodoc,
 )
 from elasticsearch_eslib_spark.operators.ids import unpersist_ids
 from elasticsearch_eslib_spark.operators.query import N_POSTING_BUCKETS
@@ -193,16 +193,16 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
                                  "max_doc_id": max_doc_id,
                                  "wall_ms": int((time.time() - t0) * 1000)})
     docs = io.read("docs")
-    # term freqs stay a VIEW over (tokenized ⋈ docs) — materializing the
-    # 100×-docs-sized tf stream as its own table doubled the build's IO for
-    # no resume value (S4 is the only consumer and is itself a checkpoint)
-    tf = term_freqs(tokenized, docs)
 
     # ------------------------------------------------------------- S3
     s3_fp = s2_fp + ":" + io.stage_snapshot("docs_tf")
     if not io.is_done("terms", s3_fp):
         t0 = time.time()
-        terms = build_terms(tf)
+        # vocabulary aggregates per TERM — fed straight off tokenized's
+        # packed rows, skipping the url-join with docs entirely (both
+        # sides of that join are corpus-sized; the terms stage ignored
+        # the doc ids it paid for)
+        terms = build_terms(term_freqs_nodoc(tokenized))
         io.write_table("terms", terms)
         unpersist_ids(terms)
         io.commit_stage("terms", "terms", None, s3_fp,
@@ -216,7 +216,13 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         s2_metrics = io.stage_metrics("docs_tf")
         n_docs = int(s2_metrics["n_docs"])
         avg_dl = float(s2_metrics["avg_dl"])
-        postings = build_postings(tf, terms, docs, n_docs, avg_dl)
+        # term freqs stay a VIEW over (tokenized ⋈ docs) — materializing
+        # the 100×-docs-sized tf stream as its own table doubled the
+        # build's IO for no resume value (S4 is the only consumer and is
+        # itself a checkpoint); dl rides the packed rows through the
+        # explode, so S4 pays exactly ONE corpus-sized join (url → doc_id)
+        tf = term_freqs(tokenized, docs)
+        postings = build_postings(tf, terms, n_docs, avg_dl)
         # one file per p_bucket dir (instead of one per encode-task per
         # bucket): queries prune to whole buckets, so fewer/larger files
         # cut open/footer overhead on the serve path; the extra shuffle

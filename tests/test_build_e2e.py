@@ -96,7 +96,7 @@ def test_head_term_salting_matches_oracle(spark, built_index, oracle_index):
     terms = io.read("terms")
     idx = Index(spark, index_dir)
     tf = term_freqs(tokenized, docs)
-    salted = build_postings(tf, terms, docs, idx.n_docs, idx.avg_dl,
+    salted = build_postings(tf, terms, idx.n_docs, idx.avg_dl,
                             head_df_threshold=2, n_salts=4)
     rows = salted.collect()
     # at threshold 2 the salting path must actually engage: some term has

@@ -79,7 +79,7 @@ def test_encode_shuffle_is_narrow(spark, built_index):
     from elasticsearch_eslib_spark.operators.build import build_postings
 
     posts = build_postings(term_freqs(tokenized, idx.docs), idx.terms,
-                           idx.docs, idx.n_docs, idx.avg_dl)
+                           idx.n_docs, idx.avg_dl)
     plan = _fmt(posts)
     # the encode repartition keys on the packed ts = term_id·256 + salt
     assert re.search(r"hashpartitioning\(ts#\d+L", plan), plan
@@ -90,8 +90,42 @@ def test_encode_shuffle_is_narrow(spark, built_index):
     assert narrow, plan
     for p in narrow:
         assert "terms#" not in p and "url#" not in p, p
-    # and both dimension joins on the way in are broadcasts
-    assert plan.count("BroadcastExchange") >= 2, plan
+    # the terms dimension join on the way in is a broadcast, and dl rides
+    # the packed rows: exactly ONE join in the whole encode plan (url →
+    # doc_id) — a second docs join on doc_id would re-shuffle the exploded
+    # stream at corpus scale
+    assert plan.count("BroadcastExchange") >= 1, plan
+    join_nodes = re.findall(r"\(\d+\) [A-Za-z]*Join[A-Za-z]*", plan)
+    assert len(join_nodes) <= 2, \
+        f"expected ≤2 join nodes (url map + terms), got {join_nodes}"
+    # and none of them keys on doc_id (the removed second docs join)
+    assert not re.search(r"keys \[1\]: \[doc_id", plan), plan
+
+
+def test_vocab_path_has_no_join(spark, built_index):
+    """The terms stage (S3/A3) aggregates per term and must never pay the
+    corpus-sized url-join with docs — its plan holds zero Join nodes and
+    exactly one exchange (the final groupBy on term)."""
+    from elasticsearch_eslib_spark.operators.build import (
+        build_terms, term_freqs_nodoc,
+    )
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    index_dir, _ = built_index
+    tokenized = open_tableio(spark, index_dir).read("tokenized")
+    vocab = term_freqs_nodoc(tokenized).groupBy("term").count()
+    plan = _fmt(vocab)
+    assert "Join" not in plan, plan
+    # build_terms output is unchanged vs the joined path (doc ids never
+    # mattered to df/cf): spot-check totals against the committed terms
+    from elasticsearch_eslib_spark.operators.ids import unpersist_ids
+
+    terms = build_terms(term_freqs_nodoc(tokenized))
+    old = open_tableio(spark, index_dir).read("terms")
+    got = terms.selectExpr("count(*) n", "sum(df) df", "sum(cf) cf").first()
+    want = old.selectExpr("count(*) n", "sum(df) df", "sum(cf) cf").first()
+    unpersist_ids(terms)
+    assert (got.n, got.df, got.cf) == (want.n, want.df, want.cf)
 
 
 def test_minhash_signatures_plan_has_no_exchange(spark, tmp_path):
