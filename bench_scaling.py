@@ -57,11 +57,14 @@ def build_dist() -> str:
     return os.path.join(REPO, "dist", "elasticsearch_eslib_spark.zip")
 
 
-def run_build(cores: int, zip_path: str) -> tuple[float, float]:
+def run_build(cores: int, zip_path: str) -> tuple[float, float, dict]:
     """Returns (inner build wall from the job's own metrics, outer wall
-    incl. JVM/session startup). Throughput uses the inner wall — a real
-    10^12-doc cluster run amortizes JVM startup to nothing; the outer wall
-    is reported alongside for transparency."""
+    incl. JVM/session startup, per-stage walls from the build manifest).
+    Throughput uses the inner wall — a real 10^12-doc cluster run amortizes
+    JVM startup to nothing; the outer wall is reported alongside for
+    transparency. The per-stage walls make each pair self-diagnosing: when
+    efficiency misses, they show WHICH stage failed to scale instead of
+    leaving a single opaque total."""
     import shutil as _sh
 
     index_dir = tempfile.mkdtemp(prefix=f"scaling_idx_{cores}_")
@@ -83,8 +86,18 @@ def run_build(cores: int, zip_path: str) -> tuple[float, float]:
         sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
         raise RuntimeError(f"build failed at local[{cores}]")
     metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    stage_walls = {}
+    try:
+        with open(os.path.join(index_dir, "_manifest.json")) as fh:
+            man = json.load(fh)
+        for st, meta in man.get("stages", {}).items():
+            w = meta.get("metrics", {}).get("wall_ms")
+            if w is not None:
+                stage_walls[st] = round(w / 1000.0, 1)
+    except OSError:
+        pass
     _sh.rmtree(index_dir, ignore_errors=True)
-    return metrics["wall_sec"], outer
+    return metrics["wall_sec"], outer, stage_walls
 
 
 _P95_INDEX: list[str] = []
@@ -125,6 +138,7 @@ def main() -> None:
     zip_path = build_dist()
     walls: dict[int, list[float]] = {c: [] for c in LEVELS}
     outers: dict[int, list[float]] = {c: [] for c in LEVELS}
+    stagew: dict[int, list[dict]] = {c: [] for c in LEVELS}
     # INTERLEAVE the levels (N, 4N, N, 4N, ...) so slow drift on the box
     # (page-cache writeback, CPU frequency after sustained load, tenant
     # noise) biases both levels equally instead of whichever ran last;
@@ -138,11 +152,13 @@ def main() -> None:
             except OSError:
                 pass
             time.sleep(15)
-            w, outer = run_build(cores, zip_path)
+            w, outer, sw = run_build(cores, zip_path)
             walls[cores].append(w)
             outers[cores].append(outer)
+            stagew[cores].append(sw)
             print(f"local[{cores}] run {i + 1}/{RUNS}: build {w:.1f}s "
-                  f"(process {outer:.1f}s)", file=sys.stderr, flush=True)
+                  f"(process {outer:.1f}s) stages={sw}",
+                  file=sys.stderr, flush=True)
     med = {c: statistics.median(ws) for c, ws in walls.items()}
     eff = (med[LEVELS[0]] / med[LEVELS[1]]) / (LEVELS[1] / LEVELS[0])
     p95 = {}
@@ -166,6 +182,15 @@ def main() -> None:
         "load_avg_at_start": os.getloadavg()[1],
         "cpu_microbench_eff": _cpu_microbench_eff(),
         "bw_microbench_eff": _bw_microbench_eff(),
+        "stage_walls": {str(c): stagew[c] for c in LEVELS},
+        "stage_scaling_eff": {
+            st: round((statistics.median([r.get(st, 0.0) for r in
+                                          stagew[LEVELS[0]]]) /
+                       max(statistics.median([r.get(st, 0.0) for r in
+                                              stagew[LEVELS[1]]]), 1e-9)) /
+                      (LEVELS[1] / LEVELS[0]), 3)
+            for st in (stagew[LEVELS[0]][0] if stagew[LEVELS[0]] else {})
+        },
     }
     if p95:
         result["query_p95_ms"] = p95
