@@ -157,8 +157,13 @@ def build_terms(tf: DataFrame) -> DataFrame:
     vocab = tf.groupBy("term").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("cf"))
-    return assign_dense_ids(vocab, "term", "term_id").select(
-        "term_id", "term", "df", "cf")
+    with_ids = assign_dense_ids(vocab, "term", "term_id")
+    terms = with_ids.select("term_id", "term", "df", "cf")
+    # propagate the unpersist handle + the free vocab count (S4 sizes the
+    # terms join with it — broadcast whole vs Zipf head/tail split)
+    terms._dense_ids_cache = with_ids._dense_ids_cache  # noqa: SLF001
+    terms._dense_ids_total = with_ids._dense_ids_total  # noqa: SLF001
+    return terms
 
 
 def corpus_stats(docs: DataFrame) -> DataFrame:
@@ -169,11 +174,60 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.avg("doc_len").alias("avg_dl"))
 
 
+# terms-dimension rows the encode join may BROADCAST (~32 B/row packed →
+# ~64 MB, the session's autoBroadcastJoinThreshold). Below this the whole
+# vocabulary broadcasts; above it the join splits Zipf-style (see
+# _enrich_with_terms) — at webtext scale the vocabulary is 10^8-10^9 terms
+# and a silent fallback to a sort-merge join would shuffle EVERY posting
+# on its term string before the encode exchange shuffles them again.
+BROADCAST_VOCAB_TERMS = 2_000_000
+
+
+def _enrich_with_terms(tf: DataFrame, terms: DataFrame,
+                       n_terms: int | None,
+                       broadcast_vocab_limit: int) -> DataFrame:
+    """tf ⋈ terms on `term`, sized for a Zipfian vocabulary.
+
+    Small vocab (or unknown size): one explicit broadcast-hash join — the
+    hint, not the session's auto threshold, decides, so the plan never
+    silently flips to a corpus-sized sort-merge shuffle as the vocabulary
+    grows across appends.
+
+    Large vocab: split at the df quantile that bounds the head to the
+    broadcast budget. Head terms (highest df — by Zipf the overwhelming
+    majority of POSTINGS) broadcast-join; only the tail posting stream
+    (most of the VOCAB, few of the postings) pays a sort-merge shuffle,
+    and its fact side is that minority stream, never the full corpus.
+    The quantile probe is one job over the vocab-sized table — O(vocab),
+    nothing corpus-sized.
+    """
+    dim = terms.select("term", "term_id", "df")
+    if n_terms is None or n_terms <= broadcast_vocab_limit:
+        return tf.join(F.broadcast(dim), "term")
+    frac = min(1.0, broadcast_vocab_limit / float(n_terms))
+    # relative error frac/2 keeps the returned rank within half the head
+    # budget of the target — a coarser error can return max(df) at this
+    # extreme quantile and collapse the head to nothing; GK sketch memory
+    # is O(1/err), i.e. O(n_terms / budget): trivial for any real budget
+    err = max(frac / 2.0, 1e-6)
+    cut = terms.approxQuantile("df", [1.0 - frac], err)[0]
+    dim_head = dim.where(F.col("df") > cut)   # strictly above the quantile
+    dim_tail = dim.where(F.col("df") <= cut)  # → head stays within budget
+    tf_head = tf.join(F.broadcast(dim_head), "term")
+    tf_tail = (tf.join(F.broadcast(dim_head.select("term")), "term",
+                       "left_anti")
+               .join(dim_tail, "term"))
+    return tf_head.unionByName(tf_tail)
+
+
 def build_postings(tf: DataFrame, terms: DataFrame,
                    n_docs: int, avg_dl: float,
                    num_partitions: int | None = None,
                    head_df_threshold: int = HEAD_DF_THRESHOLD,
-                   n_salts: int = N_SALTS) -> DataFrame:
+                   n_salts: int = N_SALTS,
+                   n_terms: int | None = None,
+                   broadcast_vocab_limit: int = BROADCAST_VOCAB_TERMS
+                   ) -> DataFrame:
     """E7+E8+E9: salted sorted runs → packed block rows with block-max.
 
     Output matches schemas.POSTINGS. Head terms are range-salted on doc_id
@@ -182,6 +236,12 @@ def build_postings(tf: DataFrame, terms: DataFrame,
 
     `tf` must carry `dl` (term_freqs emits it off the packed rows) — doc
     lengths never arrive via a second corpus-sized join on doc_id.
+
+    `n_terms` (vocabulary row count — free from S3's dense-id pass, riding
+    the stage metrics) sizes the terms join: within `broadcast_vocab_limit`
+    the dimension broadcasts whole; above it the join splits at a df
+    quantile so the Zipf head broadcasts and only tail postings shuffle
+    (_enrich_with_terms).
     """
     salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
 
@@ -190,7 +250,7 @@ def build_postings(tf: DataFrame, terms: DataFrame,
     # to derive the salt; encode_enriched packs these into 3 longs before
     # the exchange
     enriched = (
-        tf.join(terms.select("term", "term_id", "df"), "term")
+        _enrich_with_terms(tf, terms, n_terms, broadcast_vocab_limit)
           .select(
               "term_id", "doc_id",
               F.col("tf").cast("int").alias("tf"),

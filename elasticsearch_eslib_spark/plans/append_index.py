@@ -199,7 +199,12 @@ def append_index(spark: SparkSession, pages_path: str,
         fresh_ids = (fresh_with
                      .withColumn("term_id", F.col("term_id") + max_tid)
                      .select("term_id", "term", "df", "cf"))
-        io.commit_stage(st3, st3, merged_known.unionByName(fresh_ids), s3_fp)
+        # merged vocab count = prior max id + fresh assignments (dense ids
+        # make the max a count); A4 sizes its terms join with it
+        io.commit_stage(
+            st3, st3, merged_known.unionByName(fresh_ids), s3_fp,
+            metrics={"n_terms":
+                     max_tid + int(fresh_with._dense_ids_total)})  # noqa: SLF001
         unpersist_ids(fresh_with)
     terms_merged = io.read(st3)
 
@@ -210,9 +215,13 @@ def append_index(spark: SparkSession, pages_path: str,
         n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
         n_part = max(n_conf, (dl_new + TOKENS_PER_ENCODE_TASK - 1)
                      // TOKENS_PER_ENCODE_TASK)
+        try:  # absent only on pre-upgrade manifests → broadcast whole
+            n_terms = io.stage_metrics(st3).get("n_terms")
+        except KeyError:
+            n_terms = None
         delta_posts = build_postings(
             term_freqs(tokenized, docs_delta), terms_merged,
-            n_tot, avgdl_tot, num_partitions=n_part)
+            n_tot, avgdl_tot, num_partitions=n_part, n_terms=n_terms)
         # continue block ids after each term's existing blocks. O(delta +
         # vocab) path: the previous epoch's block_offs table (one row per
         # term, rewritten alongside terms each epoch) carries the running

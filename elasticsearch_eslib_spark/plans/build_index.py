@@ -204,9 +204,13 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         # the doc ids it paid for)
         terms = build_terms(term_freqs_nodoc(tokenized))
         io.write_table("terms", terms)
+        # vocab row count is free from the dense-id counting pass; S4
+        # sizes the terms join with it (broadcast vs Zipf head/tail split)
+        n_terms = int(terms._dense_ids_total)  # noqa: SLF001
         unpersist_ids(terms)
         io.commit_stage("terms", "terms", None, s3_fp,
-                        metrics={"wall_ms": int((time.time() - t0) * 1000)})
+                        metrics={"n_terms": n_terms,
+                                 "wall_ms": int((time.time() - t0) * 1000)})
     terms = io.read("terms")
 
     # ------------------------------------------------------------- S4
@@ -222,7 +226,14 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         # itself a checkpoint); dl rides the packed rows through the
         # explode, so S4 pays exactly ONE corpus-sized join (url → doc_id)
         tf = term_freqs(tokenized, docs)
-        postings = build_postings(tf, terms, n_docs, avg_dl)
+        # n_terms missing only on manifests committed before it was
+        # recorded — the join then broadcasts whole, the legacy behavior
+        try:
+            n_terms = io.stage_metrics("terms").get("n_terms")
+        except KeyError:
+            n_terms = None
+        postings = build_postings(tf, terms, n_docs, avg_dl,
+                                  n_terms=n_terms)
         # one file per p_bucket dir (instead of one per encode-task per
         # bucket): queries prune to whole buckets, so fewer/larger files
         # cut open/footer overhead on the serve path; the extra shuffle

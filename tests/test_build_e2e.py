@@ -134,6 +134,50 @@ def test_head_term_salting_matches_oracle(spark, built_index, oracle_index):
     assert ws == es
 
 
+def test_vocab_headtail_split_matches_broadcast_path(spark, built_index):
+    """Above the broadcast budget the terms join splits at a df quantile:
+    the Zipf head broadcasts, only tail postings sort-merge. Forcing a
+    4-term budget on the unit corpus must (a) actually split — both head
+    and tail non-empty — and (b) produce bit-identical posting blocks to
+    the broadcast-everything plan."""
+    from elasticsearch_eslib_spark.operators.build import (
+        build_postings, term_freqs,
+    )
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    index_dir, _ = built_index
+    io = open_tableio(spark, index_dir)
+    tokenized = io.read("tokenized")
+    docs = io.read("docs")
+    terms = io.read("terms")
+    idx = Index(spark, index_dir)
+    tf = term_freqs(tokenized, docs)
+    n_vocab = terms.count()
+    budget = 4
+    assert n_vocab > budget
+    # the quantile cut splits the vocab into non-empty head and tail
+    # (same probe as _enrich_with_terms: error tight enough that the cut
+    # can't collapse to max(df))
+    frac = budget / n_vocab
+    cut = terms.approxQuantile("df", [1.0 - frac], max(frac / 2, 1e-6))[0]
+    n_head = terms.where(F.col("df") > cut).count()
+    assert 0 < n_head <= 2 * budget
+    assert n_head < n_vocab
+
+    split = build_postings(tf, terms, idx.n_docs, idx.avg_dl,
+                           n_terms=n_vocab, broadcast_vocab_limit=budget)
+    whole = build_postings(tf, terms, idx.n_docs, idx.avg_dl)
+
+    def key(rows):
+        return sorted(
+            (r["term_id"], r["block_id"], r["first_doc"], r["last_doc"],
+             r["n_docs"], r["block_max_tf"], round(r["block_max_raw"], 12),
+             bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["dls"]))
+            for r in rows)
+
+    assert key(split.collect()) == key(whole.collect())
+
+
 def test_rejects_and_empty_docs_have_no_postings(spark, built_index):
     index_dir, _ = built_index
     idx = Index(spark, index_dir)
