@@ -226,7 +226,7 @@ def build_postings(tf: DataFrame, terms: DataFrame,
                    head_df_threshold: int = HEAD_DF_THRESHOLD,
                    n_salts: int = N_SALTS,
                    n_terms: int | None = None,
-                   broadcast_vocab_limit: int = BROADCAST_VOCAB_TERMS
+                   broadcast_vocab_limit: int | None = None
                    ) -> DataFrame:
     """E7+E8+E9: salted sorted runs → packed block rows with block-max.
 
@@ -243,6 +243,8 @@ def build_postings(tf: DataFrame, terms: DataFrame,
     quantile so the Zipf head broadcasts and only tail postings shuffle
     (_enrich_with_terms).
     """
+    if broadcast_vocab_limit is None:  # resolved at call time so tests
+        broadcast_vocab_limit = BROADCAST_VOCAB_TERMS  # can pin the module constant
     salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
 
     # the enriched stream carries only (term_id, doc_id, tf, dl, salt) —

@@ -79,6 +79,31 @@ def appended_index(spark, corpora):
     return idx_dir
 
 
+def test_append_with_headtail_vocab_split_matches_cold_build(
+        spark, corpora, tmp_path, monkeypatch):
+    """The Zipf head/tail terms join (operators/build.py
+    _enrich_with_terms) forced through the FULL lifecycle: with the
+    broadcast budget pinned to 8 vocabulary terms, both the cold build's
+    S4 and the append's A4 take the split path (head broadcast + tail
+    sort-merge, block continuation across epochs on top). Answers must
+    equal an UNPATCHED cold build over A ∪ B — the split may not perturb
+    salting, block ids, or the append's continuation metadata."""
+    import elasticsearch_eslib_spark.operators.build as build_mod
+
+    monkeypatch.setattr(build_mod, "BROADCAST_VOCAB_TERMS", 8)
+    split_dir = str(tmp_path / "idx_split")
+    build_index(spark, corpora["A"], split_dir)
+    append_index(spark, corpora["B"], split_dir)
+    monkeypatch.undo()
+
+    cold_dir = os.path.join(corpora["root"], "idx_cold_split_ref")
+    build_index(spark, corpora["AB"], cold_dir)
+    assert (_url_scores(spark, split_dir, "wand")
+            == _url_scores(spark, cold_dir, "wand"))
+    assert (_url_scores(spark, split_dir, "exhaustive")
+            == _url_scores(spark, cold_dir, "wand"))
+
+
 def test_append_matches_cold_build(spark, corpora, appended_index):
     cold_dir = os.path.join(corpora["root"], "idx_cold")
     build_index(spark, corpora["AB"], cold_dir)
