@@ -103,6 +103,14 @@ def get_spark(app_name: str = "eslib-spark", master: str | None = None,
         # as the executor count (a real cluster's many-file input makes
         # this moot — splits are per file anyway)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # NOTE (measured, round 6): lowering files.openCostInBytes to split
+        # the single-file local tables finer does NOT parallelize them —
+        # the testdata parquet files hold ONE row group, so only the split
+        # containing the row-group midpoint reads any rows and the stage
+        # degrades to 1-wide (near-dup pair stage 23 → 61 s). Under-
+        # parallel scans feeding CPU-heavy stages are fixed with an
+        # explicit conditional repartition instead (planutil.spread — a
+        # no-op on any real many-file corpus).
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

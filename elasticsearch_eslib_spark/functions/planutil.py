@@ -1,0 +1,64 @@
+"""Plan-shaping utilities (optimizer barriers).
+
+Catalyst folds a deterministic filter over a two-sided computed column
+into the JOIN CONDITION (PushPredicateThroughJoin): the expensive
+expression (a 64-dim cosine, an array_intersect jaccard) is then
+evaluated per CANDIDATE pair inside the join — outside the stage's
+generated code — and evaluated AGAIN in the projection for every
+surviving pair. Measured on the near-dup pair join at sf1.0: the pair
+stage alone ran 28.0 s with the fold vs 6.6 s with the filter held above
+a codegen'd projection.
+
+`filter_once` pins the filter ABOVE the projection that computes its
+inputs, so the expensive column is evaluated exactly once, inside
+whole-stage codegen. Mechanics — both halves are needed:
+
+  * a `monotonically_increasing_id()` column makes the projection
+    non-deterministic, which stops PushPredicateThroughNonJoin from
+    substituting the predicate through it (and so from ever reaching the
+    join). A dropped dummy column alone does NOT survive: ColumnPruning
+    removes it before pushdown and the barrier evaporates (measured).
+  * the predicate is AND-ed with the tautology `mid >= 0` so the dummy
+    column is REFERENCED (pruning keeps it) and the conjunction contains
+    a non-deterministic leaf (never pushed into a join). mid is a
+    non-negative long by construction, so the row set is exactly
+    `df.where(pred)`.
+
+MonotonicallyIncreasingID has codegen support, so the filter itself stays
+inside the generated stage (unlike e.g. a `shuffle()`-based identity
+wrapper, which is CodegenFallback and drags the whole predicate onto the
+interpreted path — also measured, 13 s vs 7 s on the same stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BARRIER_COL = "__nd_barrier"
+
+
+def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
+    """Repartition up ONLY when the input SCAN is under-parallel (a small
+    local file → 1-2 tasks would serialize the CPU-heavy map work that
+    follows; the sandbox testdata files are single-row-group parquet, so
+    finer file splits cannot help — only a repartition can). On a real
+    many-file corpus the scan already has enough partitions and this is a
+    no-op — no unconditional shuffle at scale.
+
+    Call this on RAW SCANS only: `.rdd.getNumPartitions()` on a joined /
+    aggregated plan triggers eager AQE stage execution (measured: it
+    silently doubled the whole candidate pipeline's cost)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part, by)
+    return df
+
+
+def filter_once(df: DataFrame, pred: Column) -> DataFrame:
+    """`df.where(pred)` with `pred` evaluated ABOVE the plan below it —
+    never folded into a join condition or pushed past the projections that
+    compute the columns it references. Row set is identical to
+    `df.where(pred)`."""
+    return (df.withColumn(_BARRIER_COL, F.monotonically_increasing_id())
+            .where(pred & (F.col(_BARRIER_COL) >= 0))
+            .drop(_BARRIER_COL))

@@ -29,7 +29,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, n_alpha_tokens, n_distinct_tokens) — whitespace
     tokens plus a BPE-ish alpha-run count via regexp."""
     docs = load_documents(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    # array_remove == filter(x != ""), but codegen'd (lambda higher-order
+    # functions are interpreted per element — measured on the bm25 path)
+    toks = F.array_remove(F.split("text", " "), "")
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -44,7 +46,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned composite flag."""
     en = LANGID_MARKERS["en"]
     docs = load_documents(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    # array_remove == filter(x != ""), but codegen'd (lambda higher-order
+    # functions are interpreted per element — measured on the bm25 path)
+    toks = F.array_remove(F.split("text", " "), "")
     base = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
@@ -67,7 +71,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, en_hits, de_hits, es_hits, fr_hits, lang_guess) — marker-
     word voting with pinned tie-break order en > de > es > fr."""
     docs = load_documents(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    # array_remove == filter(x != ""), but codegen'd (lambda higher-order
+    # functions are interpreted per element — measured on the bm25 path)
+    toks = F.array_remove(F.split("text", " "), "")
     hit_cols = {
         lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
                 .alias(f"{lang}_hits")

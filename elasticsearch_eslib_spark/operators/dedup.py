@@ -75,19 +75,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
-def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
-    """Repartition up ONLY when the input SCAN is under-parallel (a small
-    local file → 1 task would serialize the CPU-heavy map work that
-    follows). On a real many-file corpus the scan already has enough
-    partitions and this is a no-op — no unconditional shuffle at scale.
-
-    Call this on RAW SCANS only: `.rdd.getNumPartitions()` on a joined /
-    aggregated plan triggers eager AQE stage execution (measured: it
-    silently doubled the whole candidate pipeline's cost)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
-        return df.repartition(n_part, by)
-    return df
+# spread() moved to functions/planutil.py (round 6: the similarity
+# operators need it too); re-exported here for existing importers.
+from elasticsearch_eslib_spark.functions.planutil import spread  # noqa: E402,F401
 
 
 def doc_shingle_arrays(docs: DataFrame, do_spread: bool = True) -> DataFrame:
@@ -101,7 +91,9 @@ def doc_shingle_arrays(docs: DataFrame, do_spread: bool = True) -> DataFrame:
     5000 docs)."""
     if do_spread:
         docs = spread(docs)
-    toks_col = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    # array_remove == filter(x != "") but codegen'd (lambda higher-order
+    # functions are interpreted per element)
+    toks_col = F.array_remove(F.split("text", " "), "")
     base = (docs.select("doc_id", toks_col.alias("toks"))
             .where(F.size("toks") >= SHINGLE_K))
     t = F.col("toks")
@@ -270,12 +262,15 @@ def lsh_candidate_pairs(sigs: DataFrame,
     it saves is a fixed ~0.3-0.5 s). The probe stays.
     """
     banded = _lsh_banded(sigs)
-    over_plan = (banded.groupBy("band", "bucket")
-                 .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
-                 .where(F.col("n") > max_bucket)
-                 .select("band", "bucket", "min_doc"))
-    over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
-    if not over_rows:
+    # EXISTENCE probe first (count-only partial agg, no min): the common
+    # no-skew case pays one boolean answer, not a per-bucket min over the
+    # whole banded stream. The probe still materializes the persisted sigs
+    # cache before the main plan runs (the round-5 contract). min_doc is
+    # computed only on the star-link branch below, when actually taken.
+    over_exists = (banded.groupBy("band", "bucket")
+                   .agg(F.count("*").alias("n"))
+                   .where(F.col("n") > max_bucket))
+    if not over_exists.limit(1).collect():
         return (banded.alias("a").join(banded.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
@@ -283,6 +278,12 @@ def lsh_candidate_pairs(sigs: DataFrame,
                 .select(F.col("a.doc_id").alias("doc_a"),
                         F.col("b.doc_id").alias("doc_b"))
                 .distinct())
+    # skew confirmed: NOW compute the (band, bucket, min_doc) star anchors
+    over_plan = (banded.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+                 .where(F.col("n") > max_bucket)
+                 .select("band", "bucket", "min_doc"))
+    over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
     if len(over_rows) <= _MAX_OVER_DRIVER:
         over = sigs.sparkSession.createDataFrame(
             over_rows, "band int, bucket long, min_doc long")
@@ -350,13 +351,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     pb = packed_cand.select(F.col("doc_id").alias("doc_b"),
                             F.col("shs").alias("shs_b"),
                             F.col("n_sh").alias("n_b"))
-    out = (cand.join(pa, "doc_a").join(pb, "doc_b")
-           .withColumn("n_inter",
-                       F.size(F.array_intersect("shs_a", "shs_b")).cast("long"))
-           .withColumn("jaccard", F.round(
-               F.col("n_inter")
-               / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
-           .where(F.col("jaccard") >= jaccard_threshold)
+    from elasticsearch_eslib_spark.functions.planutil import filter_once
+
+    scored = (cand.join(pa, "doc_a").join(pb, "doc_b")
+              .withColumn("n_inter",
+                          F.size(F.array_intersect("shs_a", "shs_b"))
+                          .cast("long"))
+              .withColumn("jaccard", F.round(
+                  F.col("n_inter")
+                  / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)))
+    # filter_once: an unbarriered threshold filter folds into the pb join
+    # condition, re-running the array_intersect per candidate outside the
+    # stage codegen and again in the projection (see planutil)
+    out = (filter_once(scored, F.col("jaccard") >= jaccard_threshold)
            .select("doc_a", "doc_b", "jaccard"))
     # materialize the (small) result so the candidate cache can be
     # released NOW — round 2 leaked cached blocks for the session lifetime
@@ -487,28 +494,38 @@ def simhash_pairs_of(sig: DataFrame,
     # runs — folding it into the plan as a broadcast subquery was measured
     # 58% slower (q8 4.3 → 6.9 s at sf0.1): the plan's branches then race
     # a cold cache and each recomputes the corpus-sized 64-agg pipeline.
+    # hamming is computed DIRECTLY on the banded join output (the banded
+    # rows carry hi/lo), and the ≤ radius filter runs BEFORE the distinct:
+    # the old shape distinct-ed every bucket pair (hamming > radius ones
+    # included, ×4 band duplicates) and then joined the signature table
+    # back TWICE just to recover hi/lo — two joins gone and the distinct
+    # input shrinks to the qualifying pairs only. Identical result: hamming
+    # is a pure function of the pair, so distinct-then-score and
+    # score-filter-then-distinct produce the same (doc_a, doc_b, hamming).
+    def _pairs(lhs, rhs, *keys):
+        ham = (F.bit_count(F.expr("a.simhash_hi ^ b.simhash_hi"))
+               + F.bit_count(F.expr("a.simhash_lo ^ b.simhash_lo"))
+               ).cast("int")
+        cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+        for k in keys:
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        return (lhs.alias("a").join(rhs.alias("b"), cond)
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        ham.alias("hamming"))
+                .where(F.col("hamming") <= radius))
+
     over_rows = over_plan.limit(_MAX_OVER_DRIVER + 1).collect()
     if not over_rows:
-        cand = (banded.alias("a").join(banded.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.v") == F.col("b.v"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-                .select(F.col("a.doc_id").alias("doc_a"),
-                        F.col("b.doc_id").alias("doc_b"))
-                .distinct())
+        cand = _pairs(banded, banded, "band", "v").distinct()
     else:
         over = (sig.sparkSession.createDataFrame(
                     over_rows, "band int, v long")
                 if len(over_rows) <= _MAX_OVER_DRIVER else over_plan)
         # small buckets: plain within-bucket pairing (bounded by the cap)
         small = (banded.join(F.broadcast(over), ["band", "v"], "left_anti")
-                 .select("doc_id", "band", "v"))
-        cand_small = (small.alias("a").join(small.alias("b"),
-                      (F.col("a.band") == F.col("b.band"))
-                      & (F.col("a.v") == F.col("b.v"))
-                      & (F.col("a.doc_id") < F.col("b.doc_id")))
-                      .select(F.col("a.doc_id").alias("doc_a"),
-                              F.col("b.doc_id").alias("doc_b")))
+                 .select("doc_id", "simhash_hi", "simhash_lo", "band", "v"))
+        cand_small = _pairs(small, small, "band", "v")
         # oversized buckets: recurse on 4 × 12-bit sub-bands of the other
         # 48 bits
         sub_structs = F.array(*[
@@ -517,31 +534,13 @@ def simhash_pairs_of(sig: DataFrame,
                      .bitwiseAND(F.lit(4095)).alias("sv"))
             for s in range(4)])
         big = (banded.join(F.broadcast(over), ["band", "v"])
-               .select("doc_id", "band", "v",
+               .select("doc_id", "simhash_hi", "simhash_lo", "band", "v",
                        F.explode(sub_structs).alias("ss"))
-               .select("doc_id", "band", "v", F.col("ss.s").alias("s"),
-                       F.col("ss.sv").alias("sv")))
-        cand_big = (big.alias("a").join(big.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.v") == F.col("b.v"))
-                    & (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.sv") == F.col("b.sv"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-                    .select(F.col("a.doc_id").alias("doc_a"),
-                            F.col("b.doc_id").alias("doc_b")))
+               .select("doc_id", "simhash_hi", "simhash_lo", "band", "v",
+                       F.col("ss.s").alias("s"), F.col("ss.sv").alias("sv")))
+        cand_big = _pairs(big, big, "band", "v", "s", "sv")
         cand = cand_small.unionByName(cand_big).distinct()
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    F.col("simhash_hi").alias("hi_a"),
-                    F.col("simhash_lo").alias("lo_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    F.col("simhash_hi").alias("hi_b"),
-                    F.col("simhash_lo").alias("lo_b"))
-    out = (cand.join(sa, "doc_a").join(sb, "doc_b")
-           .withColumn("hamming",
-                       (F.bit_count(F.expr("hi_a ^ hi_b"))
-                        + F.bit_count(F.expr("lo_a ^ lo_b"))).cast("int"))
-           .where(F.col("hamming") <= radius)
-           .select("doc_a", "doc_b", "hamming"))
+    out = cand
     # materialize (small result) then release the corpus-sized cache —
     # round 2 leaked it for the session lifetime
     out = out.localCheckpoint(eager=True)

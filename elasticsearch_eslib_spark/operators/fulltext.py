@@ -61,10 +61,19 @@ def tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_len(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6 analog: (doc_id, dl)."""
-    return (tokens(spark, sf_dir)
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("dl")))
+    """E6 analog: (doc_id, dl).
+
+    Computed per ROW as the size of the filtered token array — no explode,
+    no shuffle (the old explode+groupBy moved the whole token stream
+    through an exchange to count it). `dl > 0` keeps the row set identical
+    to the aggregation form: docs whose tokens are all empty never produce
+    a (doc_id, term) row, so they had no group."""
+    # array_remove == filter(x != ""), but codegen'd (lambda higher-order
+    # functions are interpreted per element)
+    toks = F.array_remove(F.split("text", " "), "")
+    return (load_documents(spark, sf_dir)
+            .select("doc_id", F.size(toks).cast("long").alias("dl"))
+            .where(F.col("dl") > 0))
 
 
 def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,17 +102,44 @@ def _query_terms_df(spark: SparkSession) -> DataFrame:
 
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unranked BM25 scores per (query_id, doc_id) for the pinned query set."""
-    tf = tokenize_tf(spark, sf_dir)
-    dl = doc_len(spark, sf_dir)
-    dfreq = term_df(spark, sf_dir)
-    n_docs = load_documents(spark, sf_dir).count()
-    avg_dl = dl.agg(F.avg("dl")).collect()[0][0]
+    """Unranked BM25 scores per (query_id, doc_id) for the pinned query set.
+
+    One corpus pass, filtered to the query vocabulary BEFORE any shuffle.
+    The old plan paid ~4 full explode passes over the corpus (tf, df, dl,
+    plus the avg_dl action): tokenize_tf, term_df and doc_len each re-ran
+    the explode+groupBy pipeline, and the full-vocabulary term_df was
+    aggregated only to be filtered down to ~20 query terms. Now:
+
+      * dl rides the token array per row (size of the filtered split — no
+        explode, no shuffle; identical values, see doc_len);
+      * the exploded stream is filtered to the query terms at the map side,
+        so the (doc_id, term) groupBy shuffles only matching rows;
+      * df per query term is a re-aggregation of that same filtered tf
+        frame — the identical Exchange subtree appears twice in the plan
+        and is computed ONCE (ReusedExchange), never a full-vocab pass.
+
+    Scores are unchanged: the same (tf, df, dl, N, avgdl) numbers feed the
+    same formula (avg_dl is an exact long-sum average, so not even a float
+    ulp moves); only summation order inside the final groupBy can differ,
+    which the pinned round(score, 6) already absorbs."""
+    docs = load_documents(spark, sf_dir)
     q = _query_terms_df(spark)
-    scored = (tf.join(F.broadcast(q), "term")
-              .join(F.broadcast(dfreq.join(q.select("term").distinct(), "term")),
-                    "term")
-              .join(dl, "doc_id")
+    all_qterms = sorted({t for _, qq in FULLTEXT_QUERIES for t in qq.split()})
+    n_docs = docs.count()
+    avg_dl = doc_len(spark, sf_dir).agg(F.avg("dl")).collect()[0][0]
+    # array_remove == filter(x != "") but codegen'd; the token array is
+    # materialized as a column FIRST so size() and the explode share ONE
+    # tokenization per row (inlining it would split+scan the text twice)
+    toks = F.array_remove(F.split("text", " "), "")
+    tf_q = (docs.select("doc_id", toks.alias("toks"))
+            .select("doc_id", F.size("toks").cast("long").alias("dl"),
+                    F.explode("toks").alias("term"))
+            .where(F.col("term").isin(all_qterms))
+            .groupBy("doc_id", "dl", "term")  # dl is per-doc constant:
+            .agg(F.count("*").alias("tf")))   # same groups as (doc_id, term)
+    dfreq_q = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf_q.join(F.broadcast(q), "term")
+              .join(F.broadcast(dfreq_q), "term")
               .withColumn("idf", F.log(
                   (F.lit(float(n_docs)) - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))

