@@ -142,7 +142,15 @@ def write_pages_parquet(path: str, n_docs: int = PAGES_UNIT) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = os.path.join(path, f"_FIXTURE_{n_docs}")
+    # Row-group size bounds scan parallelism: Spark can't split inside a
+    # row group, so 10k-doc groups capped the 100k-doc bench corpus at a
+    # 10-task extraction (measured: S1 ran 10-wide on 32 slots). 1,250-doc
+    # groups (~1.7 MB) let the scan split ~80 ways — finer than any split
+    # size S1 asks for — at negligible footer overhead. The marker carries
+    # the layout so a fixture written by older code is regenerated (same
+    # deterministic CONTENT — gen_pages is unchanged — different layout).
+    row_group = 1_250
+    marker = os.path.join(path, f"_FIXTURE_{n_docs}_rg{row_group}")
     out = os.path.join(path, "pages.parquet")
     if os.path.exists(marker) and os.path.exists(out):
         return out
@@ -159,9 +167,7 @@ def write_pages_parquet(path: str, n_docs: int = PAGES_UNIT) -> str:
         pa.field("lang", pa.string(), False),
     ])
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    # small row groups keep the file SPLITTABLE: Spark can't split inside a
-    # row group, and a single-row-group file serializes every scan stage
-    pq.write_table(table, out, row_group_size=10_000)
+    pq.write_table(table, out, row_group_size=row_group)
     with open(marker, "w") as fh:
         fh.write(str(n_docs))
     return out

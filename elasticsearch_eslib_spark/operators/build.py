@@ -383,7 +383,29 @@ def encode_enriched(enriched: DataFrame, n_docs: int, avg_dl: float,
     # no idf here: block_max_raw ships idf-free (the round-2 layout joined
     # terms back onto the block rows just to bake idf in — one whole
     # broadcast join of the block stream gone, and appends become possible)
-    w = Window.partitionBy("term_id").orderBy("first_doc")
-    return (blocks
+    #
+    # block ids + the bucketed FILE layout share ONE exchange (round 6):
+    # the old plan paid Exchange(hash term_id) + Sort + Window for the ids
+    # and then a SECOND Exchange(p_bucket) in every writer for the
+    # one-file-per-bucket layout. p_bucket = term_id % N_POSTING_BUCKETS
+    # puts every block of a term in one partition, and HashPartitioning on
+    # a SUBSET of a window's partition keys satisfies its clustered
+    # distribution, so Window.partitionBy(p_bucket, term_id) on top of the
+    # p_bucket repartition plans with NO further exchange (only the sort).
+    # The window groups are identical to partitionBy(term_id) alone —
+    # p_bucket is a function of term_id — so block ids are unchanged.
+    # Output stays partitioned by p_bucket for the bucketed write; writers
+    # pass it through (the append/compact paths re-repartition after their
+    # offset joins — delta-sized, unchanged). Assigning ids in a Python
+    # pass instead was measured 2× WORSE: the encoded binary blobs would
+    # cross the Arrow boundary twice more.
+    from elasticsearch_eslib_spark.operators.query import N_POSTING_BUCKETS
+
+    bucketed = blocks.withColumn(
+        "p_bucket",
+        F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int")
+    ).repartition(N_POSTING_BUCKETS, "p_bucket")
+    w = Window.partitionBy("p_bucket", "term_id").orderBy("first_doc")
+    return (bucketed
             .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
-            .select([f.name for f in schemas.POSTINGS.fields]))
+            .select([f.name for f in schemas.POSTINGS.fields] + ["p_bucket"]))

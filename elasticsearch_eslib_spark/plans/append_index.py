@@ -243,12 +243,12 @@ def append_index(spark: SparkSession, pages_path: str,
                                     + F.coalesce("__off", F.lit(0)))
                                    .cast("int"))
                        .drop("__off"))
+        # delta_posts already carries p_bucket (encode_enriched); the
+        # offset join above loses the physical layout, so restore it
+        # (delta-sized shuffle)
         io.commit_stage(
             st4, st4,
-            delta_posts.withColumn(
-                "p_bucket",
-                F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
-            .repartition(N_POSTING_BUCKETS, "p_bucket"),
+            delta_posts.repartition(N_POSTING_BUCKETS, "p_bucket"),
             s4_fp, partition_by=["p_bucket"])
 
     # ------------------------------------------------------- stats (commit)

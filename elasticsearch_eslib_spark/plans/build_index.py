@@ -236,15 +236,11 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
                                   n_terms=n_terms)
         # one file per p_bucket dir (instead of one per encode-task per
         # bucket): queries prune to whole buckets, so fewer/larger files
-        # cut open/footer overhead on the serve path; the extra shuffle
-        # moves only the encoded block rows (128× smaller than postings)
-        io.write_table(
-            "postings",
-            postings.withColumn(
-                "p_bucket",
-                F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
-            .repartition(N_POSTING_BUCKETS, "p_bucket"),
-            partition_by=["p_bucket"])
+        # cut open/footer overhead on the serve path. build_postings
+        # already emits the block rows partitioned+sorted by p_bucket
+        # (its block-id pass shares that exchange — operators/build.py),
+        # so the write is a straight pass-through, no extra shuffle.
+        io.write_table("postings", postings, partition_by=["p_bucket"])
         # per-term running block counts (vocab-sized): the append path
         # continues block ids from this table instead of scanning the
         # postings' block metadata (O(vocab) metadata vs O(corpus/128)).

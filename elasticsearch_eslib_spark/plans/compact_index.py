@@ -104,13 +104,8 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
                      metrics={"n_docs": n_docs, "avg_dl": avg_dl})
     out.write_table("terms", idx.terms)
     out.commit_stage("terms", "terms", None, fp)
-    out.write_table(
-        "postings",
-        posts.withColumn(
-            "p_bucket",
-            F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
-        .repartition(N_POSTING_BUCKETS, "p_bucket"),
-        partition_by=["p_bucket"])
+    # encode_enriched already emits p_bucket-partitioned, sorted blocks
+    out.write_table("postings", posts, partition_by=["p_bucket"])
 
     # per-term block counts for future appends onto the compacted dir
     out.write_table("block_offs", out.read("postings")
@@ -297,11 +292,11 @@ def compact_epochs(spark: SparkSession, index_dir: str,
 
     _raw_write(names["docs"], docs_merged)
     _raw_write(names["terms"], terms_latest)
-    _raw_write(names["postings"], posts_new.withColumn(
-        "p_bucket",
-        F.pmod(F.col("term_id"), F.lit(N_POSTING_BUCKETS)).cast("int"))
-        .repartition(N_POSTING_BUCKETS, "p_bucket"),
-        partition_by=["p_bucket"])
+    # posts_new already carries p_bucket (encode_enriched); the offset
+    # join above loses the physical layout, so restore it (delta-sized)
+    _raw_write(names["postings"],
+               posts_new.repartition(N_POSTING_BUCKETS, "p_bucket"),
+               partition_by=["p_bucket"])
     written = spark.read.parquet(os.path.join(io.root, names["postings"]))
     merged_counts = written.groupBy("term_id").agg(
         (F.max("block_id") + 1).cast("int").alias("__nb"))
