@@ -188,10 +188,11 @@ def _enrich_with_terms(tf: DataFrame, terms: DataFrame,
                        broadcast_vocab_limit: int) -> DataFrame:
     """tf ⋈ terms on `term`, sized for a Zipfian vocabulary.
 
-    Small vocab (or unknown size): one explicit broadcast-hash join — the
-    hint, not the session's auto threshold, decides, so the plan never
-    silently flips to a corpus-sized sort-merge shuffle as the vocabulary
-    grows across appends.
+    Small vocab: one explicit broadcast-hash join — the hint, not the
+    session's auto threshold, decides, so the plan never silently flips
+    to a corpus-sized sort-merge shuffle as the vocabulary grows across
+    appends. Unknown size (n_terms=None) is COUNTED first, never assumed
+    small.
 
     Large vocab: split at the df quantile that bounds the head to the
     broadcast budget. Head terms (highest df — by Zipf the overwhelming
@@ -202,7 +203,15 @@ def _enrich_with_terms(tf: DataFrame, terms: DataFrame,
     nothing corpus-sized.
     """
     dim = terms.select("term", "term_id", "df")
-    if n_terms is None or n_terms <= broadcast_vocab_limit:
+    if n_terms is None:
+        # unknown vocabulary size (legacy manifests without the n_terms
+        # metric, or direct calls): COUNT it — one O(vocab) job, trivial
+        # next to the encode — rather than force-broadcasting a dimension
+        # that might be 10^8 rows (the old fallback OOMed the driver on a
+        # genuinely large vocab; an unhinted join would silently flip to a
+        # corpus-sized sort-merge instead)
+        n_terms = dim.count()
+    if n_terms <= broadcast_vocab_limit:
         return tf.join(F.broadcast(dim), "term")
     frac = min(1.0, broadcast_vocab_limit / float(n_terms))
     # relative error frac/2 keeps the returned rank within half the head
@@ -245,6 +254,11 @@ def build_postings(tf: DataFrame, terms: DataFrame,
     """
     if broadcast_vocab_limit is None:  # resolved at call time so tests
         broadcast_vocab_limit = BROADCAST_VOCAB_TERMS  # can pin the module constant
+    # enforce the ts-packing bound on the n_salts ACTUALLY used (callers
+    # pass custom values; the old module-constant assert in
+    # encode_enriched checked N_SALTS regardless)
+    if not 0 < n_salts <= SALT_PACK:
+        raise ValueError(f"n_salts={n_salts} must be in 1..{SALT_PACK}")
     salt_width = max(1, (n_docs + n_salts - 1) // n_salts)
 
     # the enriched stream carries only (term_id, doc_id, tf, dl, salt) —
@@ -258,7 +272,11 @@ def build_postings(tf: DataFrame, terms: DataFrame,
               F.col("tf").cast("int").alias("tf"),
               F.col("dl").cast("int").alias("dl"),
               F.when(F.col("df") > head_df_threshold,
-                     (F.col("doc_id") / salt_width).cast("int"))
+                     # clamp: doc_id == n_docs truncates to salt == n_salts
+                     # when n_docs % n_salts == 0, which would collide into
+                     # the next term's packed ts key space
+                     F.least((F.col("doc_id") / salt_width).cast("int"),
+                             F.lit(n_salts - 1)))
                .otherwise(F.lit(0)).alias("salt"))
     )
     return encode_enriched(enriched, n_docs, avg_dl, num_partitions)
@@ -305,7 +323,9 @@ def encode_enriched(enriched: DataFrame, n_docs: int, avg_dl: float,
     # this: the 2v8 scaling gap is a ~20% bytes-bound fraction against a
     # 0.32 streaming-memory envelope (BENCH/membw_envelope.json) — bytes
     # per posting is the lever, not parallel structure.
-    assert N_SALTS <= SALT_PACK, "salt must pack into 8 bits"
+    # salt-range validity (salt < SALT_PACK) is enforced where salt is
+    # computed: build_postings bounds+clamps n_salts, and the compaction
+    # paths clamp with least(salt, N_SALTS-1)
     packed = enriched.select(
         (F.col("term_id") * F.lit(SALT_PACK)
          + F.col("salt").cast("long")).alias("ts"),

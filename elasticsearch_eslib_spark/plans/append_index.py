@@ -100,14 +100,21 @@ def append_index(spark: SparkSession, pages_path: str,
     epochs = committed_epochs(io)
     fp_batch = batch_fingerprint or fingerprint_path(pages_path)
 
+    from elasticsearch_eslib_spark.streaming.ingest import fingerprints_match
+
     last_stats = f"stats_a{epochs[-1]}" if epochs else "stats"
     for prev_e in reversed(epochs):
         m_prev = io.stage_metrics(f"stats_a{prev_e}")
         # merged_batch_fingerprints: a partially-compacted epoch carries
         # the fingerprints of every batch it absorbed (compact_epochs) —
-        # redelivery of any of them must still be a no-op
-        if (m_prev.get("batch_fingerprint") == fp_batch
-                or fp_batch in m_prev.get("merged_batch_fingerprints", [])):
+        # redelivery of any of them must still be a no-op. Matching goes
+        # through fingerprints_match so a v2 content fingerprint still
+        # recognizes an epoch committed under the legacy v1 format
+        # (pre-lang hash) — an unversioned hash change here silently
+        # re-appended already-indexed batches as duplicates.
+        stored = ([m_prev.get("batch_fingerprint")]
+                  + list(m_prev.get("merged_batch_fingerprints", [])))
+        if any(fingerprints_match(fp_batch, s) for s in stored):
             return {"skipped": True, "epoch": prev_e,
                     "wall_sec": time.time() - t_start}
 

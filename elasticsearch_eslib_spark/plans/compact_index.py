@@ -95,7 +95,9 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
                         F.col("tf").cast("int").alias("tf"),
                         F.col("dl").cast("int").alias("dl"),
                         F.when(F.col("df") > HEAD_DF_THRESHOLD,
-                               (F.col("doc_id") / salt_width).cast("int"))
+                               F.least((F.col("doc_id") / salt_width)
+                                       .cast("int"),
+                                       F.lit(N_SALTS - 1)))
                         .otherwise(F.lit(0)).alias("salt")))
     posts = encode_enriched(enriched, n_docs, avg_dl)
 
@@ -256,9 +258,28 @@ def compact_epochs(spark: SparkSession, index_dir: str,
                         F.col("tf").cast("int").alias("tf"),
                         F.col("dl").cast("int").alias("dl"),
                         F.when(F.col("df") > HEAD_DF_THRESHOLD,
-                               (F.col("doc_id") / salt_width).cast("int"))
+                               F.least((F.col("doc_id") / salt_width)
+                                       .cast("int"),
+                                       F.lit(N_SALTS - 1)))
                         .otherwise(F.lit(0)).alias("salt")))
-    posts_new = encode_enriched(enriched, n_tot, avgdl_tot)
+    # size the encode shuffle from the MERGED SUFFIX volume, not the total
+    # corpus: encode_enriched's default derives task count from
+    # n_docs·avg_dl, which at a 10^12-doc steady state would schedule
+    # O(corpus/4M-token) near-empty tasks for a few small deltas —
+    # breaking the O(merged deltas) contract. Same sizing rule as
+    # append_index A4 (suffix docs × current avgdl ≈ suffix tokens).
+    from elasticsearch_eslib_spark.operators.build import (
+        TOKENS_PER_ENCODE_TASK,
+    )
+
+    n_new_suffix = sum(
+        int(io.stage_metrics(f"stats_a{e}").get("n_new", 0)) for e in suffix)
+    suffix_tokens = max(1, int(n_new_suffix * avgdl_tot))
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_enc = max(n_conf, (suffix_tokens + TOKENS_PER_ENCODE_TASK - 1)
+                // TOKENS_PER_ENCODE_TASK)
+    posts_new = encode_enriched(enriched, n_tot, avgdl_tot,
+                                num_partitions=n_enc)
 
     # block ids continue after the PRE-suffix running counts (O(vocab))
     prev_offs_tbl = f"block_offs_a{j - 1}" if j > 1 else "block_offs"

@@ -371,6 +371,47 @@ def test_append_content_fingerprint_spans_restaging(spark, tmp_path):
     assert Index(spark, idx_dir).n_docs == 500
 
 
+def test_append_recognizes_legacy_v1_fingerprints(spark, tmp_path):
+    """On-disk compat: an epoch committed under the PRE-lang v1 content
+    fingerprint (``c<n>x<hash(url,html)>``) must still be recognized when
+    the same batch is redelivered with today's v2 fingerprint — the
+    unversioned hash change would otherwise re-append it as duplicates.
+    And a batch with identical (url, html) but different lang must NOT
+    match a v2 fingerprint (the reason lang entered the hash)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_eslib_spark.streaming.ingest import (
+        batch_content_fingerprint, fingerprints_match,
+    )
+
+    root = str(tmp_path)
+    a = _write_range(os.path.join(root, "a", "pages.parquet"), 0, 200)
+    idx_dir = os.path.join(root, "idx")
+    build_index(spark, a, idx_dir)
+
+    d1 = _write_range(os.path.join(root, "d1", "pages.parquet"), 200, 320)
+    batch = spark.read.parquet(d1)
+    # forge the v1 fingerprint exactly as pre-upgrade code computed it
+    row = batch.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(url, html))"),
+                   F.lit(0)).alias("h")).collect()[0]
+    fp_v1 = f"c{int(row['n'])}x{int(row['h']) & (1 << 64) - 1:016x}"
+    m1 = append_index(spark, d1, idx_dir, batch_fingerprint=fp_v1)
+    assert m1.get("skipped") is not True and m1["epoch"] == 1
+
+    fp_v2 = batch_content_fingerprint(batch)
+    assert fp_v2.startswith("cv2-") and fingerprints_match(fp_v2, fp_v1)
+    m2 = append_index(spark, d1, idx_dir, batch_fingerprint=fp_v2)
+    assert m2["skipped"] is True and m2["epoch"] == 1
+
+    # different lang, same (url, html): v2-vs-v2 must NOT match
+    relabeled = batch.withColumn("lang", F.lit("de"))
+    assert not fingerprints_match(
+        batch_content_fingerprint(relabeled), fp_v2)
+    assert fingerprints_match(batch_content_fingerprint(relabeled), fp_v1)
+
+
 def test_compact_aborts_on_concurrent_append(spark, tmp_path):
     """Single-writer compaction is VERIFIED at the commit point: an append
     landing mid-compaction makes compact_index abort with the destination

@@ -86,6 +86,37 @@ def test_wand_range_partitioned_matches_oracle(spark, built_index,
     _assert_rank_identical(got, _golden(oracle_index))
 
 
+def test_wand_merge_window_hostile_k_times_ranges(spark, built_index):
+    """Spill-safety evidence for the per-query merge window: at the
+    WAND_MAX_RANGES-scale fan-out with a large k, the merge input is
+    ~k·n_ranges rows through ONE window partition per query. Drive the
+    unit index at n_ranges=256 with k=1000 (merge input up to 256k rows
+    per query — the documented worst-case shape, bounded by
+    k·WAND_MAX_RANGES at any corpus size) and require rank-identical
+    results to the single-task path: the window must absorb the volume
+    without reordering or dropping rows."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_eslib_spark.operators.query import topk_wand
+    from elasticsearch_eslib_spark.plans.build_index import Index
+
+    index_dir, _ = built_index
+    idx = Index(spark, index_dir)
+    big_k = 1000  # ≥ corpus size: every scored doc survives into the merge
+    # query the corpus's own highest-df terms so candidates span all ranges
+    top = [r["term"] for r in idx.terms.orderBy(F.col("df").desc())
+           .limit(3).collect()]
+    queries = spark.createDataFrame(
+        [(0, top[0], big_k), (1, " ".join(top), big_k)],
+        "query_id long, query string, k int")
+    one = _collect(topk_wand(queries, idx.terms, idx.postings,
+                             idx.n_docs, idx.avg_dl, n_ranges=1))
+    many = _collect(topk_wand(queries, idx.terms, idx.postings,
+                              idx.n_docs, idx.avg_dl, n_ranges=256))
+    assert len(one) > 0
+    _assert_rank_identical(many, one)
+
+
 def test_wand_range_partition_runs_multiple_groups(spark, built_index,
                                                    queries_df):
     """The ranged plan actually fans out: >1 (query_id, range_id) group

@@ -48,6 +48,51 @@ def test_postings_fetch_is_pruned(spark, built_index):
     assert re.search(r"PushedFilters: \[.*[Ii]n\(term_id", plan), plan
 
 
+def test_terms_lookup_is_pruned(spark, built_index):
+    """Q2's vocabulary lookup (`terms.where(term.isin(...))`) must reach
+    the parquet scan as a pushed filter. The terms table is WRITTEN in
+    term order (assign_dense_ids range-partitions and sorts by term), so
+    the pushed predicate prunes row groups by min/max stats — at a 10^8-
+    term vocabulary a query batch reads a handful of row groups, not the
+    table. Verified here both ways: the plan shows the pushed filter, and
+    the committed files are in fact term-ordered (disjoint, ascending
+    min/max ranges), which is what makes the pushdown prune."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_eslib_spark.plans.build_index import Index
+    from elasticsearch_eslib_spark.sources.tableio import open_tableio
+
+    index_dir, _ = built_index
+    idx = Index(spark, index_dir)
+    terms = [r["term"] for r in idx.terms.orderBy("term_id").limit(2)
+             .select("term").collect()]
+    plan = _fmt(idx.terms.where(F.col("term").isin(terms)))
+    assert re.search(r"PushedFilters: \[.*term", plan), plan
+    # physical order: every file's term column is internally sorted and a
+    # file's min is ≥ the previous file's max (range partitioning by term)
+    io_ = open_tableio(spark, index_dir)
+    tdir = io_.table_path("terms")
+    files = sorted(
+        os.path.join(tdir, f) for f in os.listdir(tdir)
+        if f.endswith(".parquet"))
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("term")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is not None and st.has_min_max:
+                ranges.append((st.min, st.max))
+    assert ranges, "no term min/max stats in the committed files"
+    for (lo, hi) in ranges:
+        assert lo <= hi
+    flat = [b for r in sorted(ranges) for b in r]
+    assert flat == sorted(flat), "term ranges overlap — table not sorted"
+
+
 def test_query_term_lookup_is_broadcast(spark, built_index):
     from elasticsearch_eslib_spark.fixtures import gen_queries
     from elasticsearch_eslib_spark.operators.query import (

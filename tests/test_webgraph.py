@@ -154,6 +154,29 @@ def test_neo4j_bulk_layout_round_trips(spark, tmp_path):
     assert stats["n_items"] == len({r[1] for r in want})
 
 
+def test_neo4j_bulk_single_execution_per_frame(spark, tmp_path):
+    """The sink's counts ride the CSV writes (df.observe) — exactly one
+    Spark job per output frame, never a second count() action re-running
+    the distinct/groupBy lineage (at 100 TB that doubled the sink)."""
+    from elasticsearch_eslib_spark.sources.graphsink import (
+        interaction_edges, write_neo4j_bulk,
+    )
+
+    edges = interaction_edges(spark, SF)
+    sc = spark.sparkContext
+    sc.setJobGroup("neo4j-sink-jobcount", "graph sink job audit")
+    try:
+        stats = write_neo4j_bulk(edges, str(tmp_path / "graph"))
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("neo4j-sink-jobcount")
+    # AQE runs each write query as ≤2 jobs (one per materialized shuffle
+    # stage + the write). The old double-compute shape added ≥1 more job
+    # per frame for the .count() actions (≥9 total) — cap at write-only.
+    assert len(jobs) <= 6, f"expected ≤6 write-only jobs, saw {len(jobs)}"
+    assert stats["n_rels"] > 0 and stats["n_users"] > 0
+
+
 def test_graph_sink_batch_epochs(spark, tmp_path):
     from elasticsearch_eslib_spark.sources.graphsink import (
         graph_sink_batch, interaction_edges,
