@@ -341,10 +341,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .union(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
+    # persisted: the pa and pb sides below are two separate broadcast
+    # builds over this frame — unpersisted, the semi-join + re-shingling
+    # of the candidate docs ran TWICE (once per side)
     packed_cand = (doc_shingle_arrays(
                        docs.join(cand_docs, "doc_id", "left_semi"),
                        do_spread=False)
-                   .select("doc_id", "shs", F.size("shs").alias("n_sh")))
+                   .select("doc_id", "shs", F.size("shs").alias("n_sh"))
+                   .persist())
     pa = packed_cand.select(F.col("doc_id").alias("doc_a"),
                             F.col("shs").alias("shs_a"),
                             F.col("n_sh").alias("n_a"))
@@ -372,6 +376,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     # (corpus_minhash_signatures), which owns its lifecycle.
     out = out.localCheckpoint(eager=True)
     cand.unpersist()
+    packed_cand.unpersist()
     return out
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from elasticsearch_eslib_spark.config import BM25_B, BM25_K1
+from elasticsearch_eslib_spark.functions.planutil import spread
 
 # Pinned query set over the documents vocabulary (~31 terms at every sf).
 FULLTEXT_QUERIES: list[tuple[int, str]] = [
@@ -39,8 +40,12 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term): whitespace tokens, empties dropped."""
-    return (load_documents(spark, sf_dir)
+    """(doc_id, term): whitespace tokens, empties dropped.
+
+    spread: the explode + downstream partial aggregation is the CPU cost
+    and must not serialize on a 1-2-task single-row-group local scan
+    (no-op on a many-file corpus — see planutil.spread)."""
+    return (spread(load_documents(spark, sf_dir))
             .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
             .where(F.col("term") != ""))
 
@@ -114,9 +119,12 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         explode, no shuffle; identical values, see doc_len);
       * the exploded stream is filtered to the query terms at the map side,
         so the (doc_id, term) groupBy shuffles only matching rows;
-      * df per query term is a re-aggregation of that same filtered tf
-        frame — the identical Exchange subtree appears twice in the plan
-        and is computed ONCE (ReusedExchange), never a full-vocab pass.
+      * df per query term is a COUNT WINDOW over that same filtered tf
+        frame (df = rows sharing the term), so the explode subtree exists
+        once in the plan — a separate groupBy(term) re-aggregation
+        re-planned (and re-ran) the whole explode lineage as a second
+        subtree; the window costs one small exchange of the filtered
+        rows instead.
 
     Scores are unchanged: the same (tf, df, dl, N, avgdl) numbers feed the
     same formula (avg_dl is an exact long-sum average, so not even a float
@@ -131,15 +139,15 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized as a column FIRST so size() and the explode share ONE
     # tokenization per row (inlining it would split+scan the text twice)
     toks = F.array_remove(F.split("text", " "), "")
-    tf_q = (docs.select("doc_id", toks.alias("toks"))
+    tf_q = (spread(docs).select("doc_id", toks.alias("toks"))
             .select("doc_id", F.size("toks").cast("long").alias("dl"),
                     F.explode("toks").alias("term"))
             .where(F.col("term").isin(all_qterms))
             .groupBy("doc_id", "dl", "term")  # dl is per-doc constant:
             .agg(F.count("*").alias("tf")))   # same groups as (doc_id, term)
-    dfreq_q = tf_q.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (tf_q.join(F.broadcast(q), "term")
-              .join(F.broadcast(dfreq_q), "term")
+    w_term = Window.partitionBy("term")
+    scored = (tf_q.withColumn("df", F.count("*").over(w_term))
+              .join(F.broadcast(q), "term")
               .withColumn("idf", F.log(
                   (F.lit(float(n_docs)) - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))
