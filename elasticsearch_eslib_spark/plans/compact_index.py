@@ -337,8 +337,7 @@ def compact_epochs(spark: SparkSession, index_dir: str,
         "built_at timestamp, snapshot string"))
 
     max_doc_id = int(io.stage_metrics(f"stats_a{k}").get("max_doc_id", 0))
-    n_new_merged = sum(
-        int(io.stage_metrics(f"stats_a{e}").get("n_new", 0)) for e in suffix)
+    n_new_merged = n_new_suffix  # already summed for the encode sizing
 
     if pre_commit_hook is not None:
         pre_commit_hook()
