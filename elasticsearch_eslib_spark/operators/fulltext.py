@@ -133,12 +133,18 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     q = _query_terms_df(spark)
     all_qterms = sorted({t for _, qq in FULLTEXT_QUERIES for t in qq.split()})
-    n_docs = docs.count()
-    avg_dl = doc_len(spark, sf_dir).agg(F.avg("dl")).collect()[0][0]
     # array_remove == filter(x != "") but codegen'd; the token array is
     # materialized as a column FIRST so size() and the explode share ONE
     # tokenization per row (inlining it would split+scan the text twice)
     toks = F.array_remove(F.split("text", " "), "")
+    # ONE driver action for both scalars (was two: a count plus an avg
+    # collect — each a stall opportunity on a busy box). Identical values:
+    # count(*) over the projection == the docs row count, and avg over
+    # when(dl > 0) is the same exact long-sum average doc_len yields.
+    stats = docs.select(F.size(toks).cast("long").alias("dl")).agg(
+        F.count("*").alias("n"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("a")).collect()[0]
+    n_docs, avg_dl = int(stats["n"]), float(stats["a"])
     tf_q = (spread(docs).select("doc_id", toks.alias("toks"))
             .select("doc_id", F.size("toks").cast("long").alias("dl"),
                     F.explode("toks").alias("term"))
