@@ -103,7 +103,14 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         # showed up as S1 scaling only 2.5× from local[2]→local[8]
         # (round-5 stage walls). With ~4 tasks per slot the last wave
         # rounds off instead of dominating, at any executor count.
-        target = max(4 << 20, min(128 << 20,
+        # floor 2 MB (was 4 MB): the floor only binds for small corpora
+        # (at scale in_bytes/(4·slots) ≫ it), exactly where finer splits
+        # matter — the bench fixture's 94 MB at 4 MB yielded 24 tasks on
+        # 32 slots (under-parallel by design intent); 2 MB gives ~2 row
+        # groups per split at the fixture's ~1.2 MB row-group size, no
+        # empty splits. Measured (3× alternating): 5.6 → 4.0 s for the
+        # extract+write pass.
+        target = max(2 << 20, min(128 << 20,
                                   in_bytes // max(16, 4 * n_part)))
         spark.conf.set(mpb_key, str(target))
         # bucket on the RAW url so each commit group filters BEFORE the
@@ -268,9 +275,18 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
                                      .get("max_doc_id", n_docs)),
                                  "wall_ms": int((time.time() - t0) * 1000)})
 
-    stats = io.read("stats").collect()[0]
-    metrics["n_docs"] = int(stats["n_docs"])
-    metrics["avg_dl"] = float(stats["avg_dl"])
+    # n_docs/avg_dl come from the manifest metrics (same values the stats
+    # table holds) — the stats-table read here was one more ~0.3 s per-job
+    # floor at the build tail; legacy manifests without the metrics fall
+    # back to the table
+    try:
+        s2m = io.stage_metrics("docs_tf")
+        metrics["n_docs"] = int(s2m["n_docs"])
+        metrics["avg_dl"] = float(s2m["avg_dl"])
+    except KeyError:
+        stats = io.read("stats").collect()[0]
+        metrics["n_docs"] = int(stats["n_docs"])
+        metrics["avg_dl"] = float(stats["avg_dl"])
     metrics["wall_sec"] = time.time() - t_start
     metrics["docs_per_sec"] = metrics["n_docs"] / metrics["wall_sec"]
     return metrics
