@@ -392,23 +392,29 @@ def simhash_of(tf: DataFrame) -> DataFrame:
     independent bits each (md5_long is only 60 bits wide)."""
     h = (tf.withColumn("h0", md5_long_seeded(F.col("term"), SIMHASH_SEED_LO))
          .withColumn("h1", md5_long_seeded(F.col("term"), SIMHASH_SEED_HI)))
-    aggs = []
-    for j in range(32):
-        aggs.append(F.sum(
-            F.when(F.expr(f"shiftright(h0, {j}) & 1") == 1, F.col("tf"))
-             .otherwise(-F.col("tf"))).alias(f"s_{j}"))
-    for j in range(32):
-        aggs.append(F.sum(
-            F.when(F.expr(f"shiftright(h1, {j}) & 1") == 1, F.col("tf"))
-             .otherwise(-F.col("tf"))).alias(f"s_{32 + j}"))
+    # each agg/pack expression is ONE expr() parse, not a Column-API loop:
+    # the 128 conditional sums + 64-term bit packs cost ~1.9 s of pure
+    # py4j round-trips per fresh plan when built through pyspark Columns
+    # (the same finding as similarity._dot); the parsed trees are
+    # identical — `CASE WHEN (shiftright & 1) = 1 THEN tf ELSE -tf END`
+    # is exactly the old F.when/otherwise form
+    aggs = [F.expr(f"sum(CASE WHEN (shiftright(h0, {j}) & 1) = 1 "
+                   f"THEN tf ELSE -tf END) AS s_{j}")
+            for j in range(32)]
+    aggs += [F.expr(f"sum(CASE WHEN (shiftright(h1, {j}) & 1) = 1 "
+                    f"THEN tf ELSE -tf END) AS s_{32 + j}")
+             for j in range(32)]
     sums = h.groupBy("doc_id").agg(*aggs)
-    lo = F.lit(0).cast("long")
-    hi = F.lit(0).cast("long")
-    for j in range(32):
-        lo = lo + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(0)
-        hi = hi + F.when(F.col(f"s_{32 + j}") > 0, F.lit(1 << j)).otherwise(0)
-    return sums.select("doc_id", hi.cast("long").alias("simhash_hi"),
-                       lo.cast("long").alias("simhash_lo"))
+
+    def pack(base: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN s_{base + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32))
+        return f"CAST(CAST(0 AS BIGINT) + {terms} AS BIGINT)"
+
+    return sums.select("doc_id",
+                       F.expr(pack(32)).alias("simhash_hi"),
+                       F.expr(pack(0)).alias("simhash_lo"))
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,26 +107,33 @@ def pinned_near_dup_planes(meta_dir: str,
     return int(data["n_planes"])
 
 
-def _dot(a, b):
-    """Dot product as an UNROLLED codegen expression chain.
+def _dot(a: str, b: str):
+    """Dot product as an UNROLLED codegen expression chain, built from ONE
+    SQL string (`a`/`b` are column references, qualifiers allowed).
 
     Bit-identical to the previous `F.aggregate(F.zip_with(...))` fold —
     the float64 operation order is unchanged (acc starts at 0.0 and adds
-    one element product at a time, left to right) — but higher-order
-    functions are interpreted per element (lambda closures, boxed values,
-    no whole-stage codegen), which made every pair comparison in the
-    LSH/bruteforce joins pay ~3 interpreted 64-element folds. The unrolled
-    chain compiles into the stage's generated code; with a literal plane
-    array the element_at calls constant-fold (SimplifyExtractValueOps), so
-    bucket bits become pure literal-coefficient arithmetic."""
-    acc = F.lit(0.0)
-    for i in range(1, EMB_DIM + 1):  # element_at is 1-based
-        acc = acc + (F.element_at(a, i).cast("double")
-                     * F.element_at(b, i).cast("double"))
-    return acc
+    one element product at a time, left to right; SQL `+` is
+    left-associative) — but higher-order functions are interpreted per
+    element (lambda closures, boxed values, no whole-stage codegen), which
+    made every pair comparison in the LSH/bruteforce joins pay ~3
+    interpreted 64-element folds. The unrolled chain compiles into the
+    stage's generated code.
+
+    Why a string and not a Column-API loop: building the same 64-term
+    chain through pyspark Columns costs ~400 py4j round-trips PER DOT —
+    measured ~1.0 s of pure driver-side plan construction per dot and
+    2-5 s per similarity query (the dominant cost of these operators at
+    driver bench scale). One expr() parse is ~3 ms for the identical
+    tree (value-equality pinned by test_dot_expr_matches_column_fold)."""
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1))  # element_at is 1-based
+    return F.expr(f"0.0D + {terms}")
 
 
-def _norm(a):
+def _norm(a: str):
     return F.sqrt(_dot(a, a))
 
 
@@ -138,7 +145,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated per row or per pair, so the rounded cosine is bit-identical
     # while the pair loop drops from 3 dot folds to 1
     emb = spread(load_embeddings(spark, sf_dir), "vec_id").withColumn(
-        "nrm", _norm(F.col("embedding")))
+        "nrm", _norm("embedding"))
     q = (emb.where(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("q_vec_id"),
                  F.col("embedding").alias("q_emb"),
@@ -146,7 +153,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (emb.crossJoin(F.broadcast(q))
               .where(F.col("vec_id") != F.col("q_vec_id"))
               .withColumn("cosine", F.round(
-                  _dot(F.col("embedding"), F.col("q_emb"))
+                  _dot("embedding", "q_emb")
                   / (F.col("nrm") * F.col("q_nrm")), 6)))
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -156,15 +163,23 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id", "cosine"))
 
 
-def lsh_bucket_expr(emb_col, n_planes: int = LSH_PLANES):
-    """Bucket id: sign bits of dot products with the pinned hyperplanes."""
+def lsh_bucket_expr(emb_col: str, n_planes: int = LSH_PLANES):
+    """Bucket id: sign bits of dot products with the pinned hyperplanes.
+
+    One SQL string (see _dot for why): the plane coefficients are inlined
+    as CAST('<repr>' AS DOUBLE) literals — Java's parseDouble round-trips
+    Python's repr exactly, and constant folding reduces them to the same
+    Literal doubles the old literal-array element_at form folded to."""
     planes = _hyperplanes(n_planes)
-    bucket = F.lit(0).cast("long")
+    bucket = "CAST(0 AS BIGINT)"
     for j in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
-        bit = F.when(_dot(emb_col, plane) > 0, 1).otherwise(0)
-        bucket = bucket * 2 + bit
-    return bucket
+        terms = " + ".join(
+            f"CAST(element_at({emb_col}, {i + 1}) AS DOUBLE)"
+            f" * CAST('{planes[j][i]!r}' AS DOUBLE)"
+            for i in range(EMB_DIM))
+        bucket = (f"({bucket}) * 2 + "
+                  f"(CASE WHEN (0.0D + {terms}) > 0 THEN 1 ELSE 0 END)")
+    return F.expr(bucket)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,8 +191,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # per-row bucket + hoisted norm (see ann_bruteforce_topk: bit-identical)
     emb = spread(load_embeddings(spark, sf_dir), "vec_id").withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"))).withColumn(
-        "nrm", _norm(F.col("embedding")))
+        "bucket", lsh_bucket_expr("embedding")).withColumn(
+        "nrm", _norm("embedding"))
     # multi-probe: each query probes its own bucket plus every bucket at
     # hamming distance 1 (flip one hyperplane sign) — the standard recall
     # lift; probe count = LSH_PLANES+1, still a tiny broadcast
@@ -191,7 +206,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (emb.join(F.broadcast(q), emb["bucket"] == q["q_bucket"])
               .where(F.col("vec_id") != F.col("q_vec_id"))
               .withColumn("cosine", F.round(
-                  _dot(F.col("embedding"), F.col("q_emb"))
+                  _dot("embedding", "q_emb")
                   / (F.col("nrm") * F.col("q_nrm")), 6)))
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -238,13 +253,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str,
     # wide and would serialize it on 2 of 32 slots (no-op on a many-file
     # corpus)
     emb = spread(load_embeddings(spark, sf_dir), "vec_id").withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"), n_planes)).withColumn(
-        "nrm", _norm(F.col("embedding")))
+        "bucket", lsh_bucket_expr("embedding", n_planes)).withColumn(
+        "nrm", _norm("embedding"))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .withColumn("cosine", F.round(
-                 _dot(F.col("a.embedding"), F.col("b.embedding"))
+                 _dot("a.embedding", "b.embedding")
                  / (F.col("a.nrm") * F.col("b.nrm")), 6)))
     # filter_once: without the barrier the cosine folds into the join
     # condition and is evaluated per bucket pair outside codegen, then

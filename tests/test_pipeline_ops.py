@@ -470,3 +470,41 @@ def test_minhash_signature_memo_invalidates_on_table_change(spark, tmp_path):
     assert s2 is not s1  # stale entry evicted, fresh pipeline
     v2 = {r["doc_id"]: r["sig_0"] for r in s2.collect()}
     assert v1[1] != v2[1]  # new content → new signatures
+
+
+def test_dot_expr_matches_column_fold(spark):
+    """The SQL-string-built unrolled dot (and the literal-plane bucket
+    expr) must be VALUE-identical to the Column-API left fold it replaced
+    — same float64 op order, plane literals round-tripping exactly
+    through repr/parseDouble (operators/similarity.py _dot)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_eslib_spark.operators.similarity import (
+        EMB_DIM, _dot, _hyperplanes, lsh_bucket_expr,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    acc = F.lit(0.0)
+    for i in range(1, EMB_DIM + 1):
+        acc = acc + (F.element_at("embedding", i).cast("double")
+                     * F.element_at("embedding", i).cast("double"))
+    old = emb.select("vec_id", acc.alias("d")).collect()
+    new = emb.select("vec_id", _dot("embedding", "embedding").alias("d")
+                     ).collect()
+    assert old == new
+
+    n_planes = 5
+    planes = _hyperplanes(n_planes)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        prod = F.lit(0.0)
+        for i in range(1, EMB_DIM + 1):
+            prod = prod + (F.element_at("embedding", i).cast("double")
+                           * F.element_at(plane, i).cast("double"))
+        bucket = bucket * 2 + F.when(prod > 0, 1).otherwise(0)
+    old_b = emb.select("vec_id", bucket.alias("b")).collect()
+    new_b = emb.select(
+        "vec_id", lsh_bucket_expr("embedding", n_planes).alias("b")).collect()
+    assert old_b == new_b
