@@ -47,9 +47,32 @@ def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
 
     Call this on RAW SCANS only: `.rdd.getNumPartitions()` on a joined /
     aggregated plan triggers eager AQE stage execution (measured: it
-    silently doubled the whole candidate pipeline's cost)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
+    silently doubled the whole candidate pipeline's cost).
+
+    The under-parallel check is ARITHMETIC (input bytes / split size from
+    the scan's files), not `.rdd.getNumPartitions()`: converting a fresh
+    DataFrame to an RDD builds the physical plan through py4j and costs
+    ~0.1-0.2 s PER CALL at the driver — ~1 s across the query suite for a
+    3 ms piece of information (inputFiles + getsize). Non-local files
+    (no file: scheme) fall back to the exact RDD probe."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        import os
+
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        total = 0
+        for f in df.inputFiles():
+            if not f.startswith("file:"):
+                raise ValueError(f)
+            path = f[len("file:"):]
+            while path.startswith("//"):  # file:///x and file:/x both → /x
+                path = path[1:]
+            total += os.path.getsize(path)
+        n_scan = max(1, -(-total // mpb))
+    except Exception:
+        n_scan = df.rdd.getNumPartitions()
+    if n_scan < n_part:
         return df.repartition(n_part, by)
     return df
 

@@ -120,8 +120,12 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         # last-resort spread for inputs too small to split at the 4 MB
         # floor yet big enough that one extraction task would drag (the
         # packed-row shuffle this causes is tiny at that size)
+        # arithmetic split estimate (same rule the scan uses) instead of
+        # pages.rdd.getNumPartitions() — the RDD conversion costs ~0.1-0.2 s
+        # of driver plan building for a number already derivable from
+        # in_bytes/target (see planutil.spread for the same trade)
         need_spread = (in_bytes > (8 << 20)
-                       and pages.rdd.getNumPartitions() < n_part)
+                       and -(-in_bytes // target) < n_part)
         done = io.done_partitions("tokenized", s1_fp) if resume else set()
         if not done:
             # nothing committed for THIS input fingerprint — start S1 clean
