@@ -3,10 +3,10 @@ array<float>, label).
 
 Two paths, as a 100 TB pipeline needs:
   * `ann_bruteforce_topk` — exact cosine top-k: broadcast the (tiny) query
-    set against the full table; dot products computed JVM-side with
-    zip_with/aggregate (no Python in the hot path); the scan stays a single
-    pass, the only shuffle is the final per-query top-k window over ≤ n·q
-    scored rows.
+    set against the full table; dot products computed JVM-side as unrolled
+    codegen chains (no Python in the hot path — see _dot); the scan stays a
+    single pass, the only shuffle is the final per-query top-k window over
+    ≤ n·q scored rows.
   * `ann_lsh_topk` — the scale path: random-hyperplane LSH (sign of dot
     with H pinned deterministic hyperplanes) buckets vectors; queries probe
     only their own bucket. Recall < 1 by design; the bruteforce path is its
@@ -174,8 +174,10 @@ def lsh_bucket_expr(emb_col: str, n_planes: int = LSH_PLANES):
     bucket = "CAST(0 AS BIGINT)"
     for j in range(n_planes):
         terms = " + ".join(
+            # float() first: repr of a RAW numpy scalar is
+            # 'np.float64(...)' under numpy >= 2 and would not parse
             f"CAST(element_at({emb_col}, {i + 1}) AS DOUBLE)"
-            f" * CAST('{planes[j][i]!r}' AS DOUBLE)"
+            f" * CAST('{float(planes[j][i])!r}' AS DOUBLE)"
             for i in range(EMB_DIM))
         bucket = (f"({bucket}) * 2 + "
                   f"(CASE WHEN (0.0D + {terms}) > 0 THEN 1 ELSE 0 END)")
