@@ -24,12 +24,20 @@ from pyspark.storagelevel import StorageLevel
 
 def assign_dense_ids(df: DataFrame, key_col: str, id_col: str,
                      num_partitions: int | None = None,
-                     sum_cols: list[str] | None = None) -> DataFrame:
+                     sum_cols: list[str] | None = None,
+                     persist_input: bool = True) -> DataFrame:
     """Return ``df`` + ``id_col``: dense 1-based longs in ``key_col`` order.
 
     ``sum_cols``: piggy-back global sums onto the counting pass (e.g.
     Σ doc_len and the indexable-doc count for avg_dl) — exposed as
-    ``result._dense_ids_sums`` so callers skip extra aggregation jobs."""
+    ``result._dense_ids_sums`` so callers skip extra aggregation jobs.
+
+    ``persist_input=False``: skip the input cache when the child plan is
+    a trivial projection of a committed table (S2's doc_meta) — the
+    sampling pass then re-scans the parquet instead of materializing a
+    cache that costs more than the rescan (guide rule: cache only when
+    recompute > cache cost). Ids are unchanged either way: global order
+    == key order regardless of where the sampled boundaries fall."""
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # repartitionByRange runs a SAMPLING job that executes the child plan
@@ -37,7 +45,7 @@ def assign_dense_ids(df: DataFrame, key_col: str, id_col: str,
     # a full groupBy over the exploded tf stream) that doubles the stage.
     # Persisting the input first makes the sampling pass materialize the
     # cache and the shuffle read it back: the child computes exactly once.
-    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    src = df.persist(StorageLevel.MEMORY_AND_DISK) if persist_input else df
     part = (
         src.repartitionByRange(n_part, F.col(key_col))
         .sortWithinPartitions(key_col)
@@ -76,7 +84,8 @@ def assign_dense_ids(df: DataFrame, key_col: str, id_col: str,
             yield out
 
     # the range-partitioned cache supersedes the input cache from here on
-    src.unpersist()
+    if persist_input:
+        src.unpersist()
     result = part.mapInPandas(_assign, schema=out_schema)
     # Note: `part` stays persisted until the caller materializes `result`;
     # callers that checkpoint the stage may call unpersist_ids() after.
