@@ -34,6 +34,10 @@ import pandas as pd
 from elasticsearch_eslib_spark.config import MAX_TOKEN_LEN
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# same codepoint ranges as _is_cjk, as a C-speed presence probe: the old
+# per-token `any(_is_cjk(c) for c in tok)` was ~1,000 Python-level calls
+# per document — the analyzer's hottest loop (measured ~2× of its cost)
+_CJK_RE = re.compile("[\u3400-\u9FFF\uF900-\uFAFF]")
 
 # Pinned stopword lists — deliberately small and frozen: they are part of
 # the index semantics (SURVEY.md §4.3 mitigation c) and are mirrored by the
@@ -78,15 +82,23 @@ def _split_cjk(token: str) -> list[str]:
 
 
 def analyze_text(text: str | None, lang: str | None) -> list[str]:
-    """Canonical oracle analyzer. Pure, deterministic, no Spark."""
+    """Canonical oracle analyzer. Pure, deterministic, no Spark.
+
+    The CJK presence checks use _CJK_RE (identical ranges to _is_cjk) and
+    the common no-ideograph document takes a comprehension-only fast path
+    — every raw token is a substring of `norm`, so `norm` containing no
+    CJK char implies no token does. Output is identical to the per-char
+    form at any input (pinned by test_analyzer fast-path identity)."""
     if not text:
         return []
     norm = unicodedata.normalize("NFKC", text).lower()
     raw = _TOKEN_RE.findall(norm)
     stop = STOPWORDS.get(lang or "", frozenset())
+    if _CJK_RE.search(norm) is None:
+        return [t for t in raw if t not in stop and len(t) <= MAX_TOKEN_LEN]
     tokens: list[str] = []
     for tok in raw:
-        parts = _split_cjk(tok) if any(_is_cjk(c) for c in tok) else (tok,)
+        parts = _split_cjk(tok) if _CJK_RE.search(tok) else (tok,)
         for part in parts:
             if part not in stop and len(part) <= MAX_TOKEN_LEN:
                 tokens.append(part)

@@ -67,3 +67,40 @@ def test_spark_udf_matches_oracle(spark, pages_parquet):
           .select("text", "lang", "tokens"))
     for row in df.collect():
         assert list(row["tokens"]) == analyze_text(row["text"], row["lang"])
+
+
+def test_cjk_fast_path_identity():
+    """The _CJK_RE presence probe + no-ideograph comprehension fast path
+    must be token-identical to the per-char reference form at every
+    boundary codepoint of the pinned CJK ranges (0x3400-0x9FFF,
+    0xF900-0xFAFF) and on mixed tokens."""
+    import unicodedata
+
+    from elasticsearch_eslib_spark.config import MAX_TOKEN_LEN
+    from elasticsearch_eslib_spark.functions.analyze import (
+        _TOKEN_RE, _is_cjk, _split_cjk,
+    )
+
+    def reference(text, lang):
+        if not text:
+            return []
+        norm = unicodedata.normalize("NFKC", text).lower()
+        raw = _TOKEN_RE.findall(norm)
+        stop = STOPWORDS.get(lang or "", frozenset())
+        out = []
+        for tok in raw:
+            parts = _split_cjk(tok) if any(_is_cjk(c) for c in tok) else (tok,)
+            out.extend(p for p in parts
+                       if p not in stop and len(p) <= MAX_TOKEN_LEN)
+        return out
+
+    cases = [
+        "㏿㐀鿿ꀀ",     # just-outside / boundary / outside
+        "豈﫿ﬀ",
+        "mix㐀ed tok鿿en latin123中文tail",
+        "the and ascii only",
+        "",
+    ]
+    for s in cases:
+        for lang in ("en", "zh", "de", None, "xx"):
+            assert analyze_text(s, lang) == reference(s, lang), (s, lang)
