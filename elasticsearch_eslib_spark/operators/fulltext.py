@@ -137,14 +137,19 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized as a column FIRST so size() and the explode share ONE
     # tokenization per row (inlining it would split+scan the text twice)
     toks = F.array_remove(F.split("text", " "), "")
-    # ONE driver action for both scalars (was two: a count plus an avg
-    # collect — each a stall opportunity on a busy box). Identical values:
-    # count(*) over the projection == the docs row count, and avg over
-    # when(dl > 0) is the same exact long-sum average doc_len yields.
+    # ZERO driver actions for the corpus scalars (round 6 folded the two
+    # collects into one; this folds the remaining one into the query
+    # itself): (n_docs, avg_dl) is a ONE-ROW aggregate subtree
+    # cross-joined in as a broadcast, so the whole operator is a single
+    # job and the stats pass overlaps the scoring pass inside it instead
+    # of stalling the driver first. Values identical: cast(count(*) AS
+    # DOUBLE) is the same double lit(float(n_docs)) was (n < 2^53), and
+    # the avg lands in the formula as the identical exact long-sum
+    # average double — only its spelling moved from a literal to a
+    # column.
     stats = docs.select(F.size(toks).cast("long").alias("dl")).agg(
-        F.count("*").alias("n"),
-        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("a")).collect()[0]
-    n_docs, avg_dl = int(stats["n"]), float(stats["a"])
+        F.count("*").cast("double").alias("__n_docs"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("__avg_dl"))
     tf_q = (spread(docs).select("doc_id", toks.alias("toks"))
             .select("doc_id", F.size("toks").cast("long").alias("dl"),
                     F.explode("toks").alias("term"))
@@ -154,13 +159,14 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_term = Window.partitionBy("term")
     scored = (tf_q.withColumn("df", F.count("*").over(w_term))
               .join(F.broadcast(q), "term")
+              .crossJoin(F.broadcast(stats))
               .withColumn("idf", F.log(
-                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  (F.col("__n_docs") - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))
               .withColumn("part", F.col("idf")
                           * F.col("tf") * (BM25_K1 + 1.0)
                           / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B
-                             * F.col("dl") / float(avg_dl)))))
+                             * F.col("dl") / F.col("__avg_dl")))))
     return (scored.groupBy("query_id", "doc_id")
             .agg(F.sum("part").alias("score")))
 
