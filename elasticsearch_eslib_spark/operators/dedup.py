@@ -567,25 +567,31 @@ def jaccard_vs_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard of every doc against the seed doc (min doc_id):
     (doc_id, jaccard) — the linear-cost brute-force baseline.
 
-    Fully narrow plan: per-doc packed shingle arrays (no explode, no
-    shuffle) cross-joined with the ONE-ROW broadcast seed array; the
-    intersection is a JVM-side array_intersect per doc. The persist is the
-    expression-tree boundary (see minhash_lsh_pairs) consumed by both the
-    seed lookup and the scoring pass."""
-    arrs = doc_shingle_arrays(load_documents(spark, sf_dir)).persist()
-    # arrs carries exactly the docs with ≥ K tokens, so the seed (min
-    # doc_id among them) is one tiny driver lookup on the cached arrays
-    seed_id = arrs.agg(F.min("doc_id")).collect()[0][0]
-    seed = (arrs.where(F.col("doc_id") == seed_id)
+    Fully narrow SINGLE-JOB plan: per-doc packed shingle arrays (no
+    explode, no shuffle) cross-joined with the ONE-ROW broadcast seed
+    subtree; the intersection is a JVM-side array_intersect per doc.
+
+    The seed is found INSIDE the plan (TakeOrdered limit(1) over the
+    same ≥K-token filter doc_shingle_arrays applies, then shingle just
+    that row) instead of the old persist → min-collect → checkpoint →
+    unpersist sequence: one driver action and a corpus-sized cache gone
+    for a tokenize-only pass that runs inside the job. Seed identity is
+    unchanged — doc_id is unique, so orderBy(doc_id).limit(1) over the
+    identical filter selects exactly the min-doc_id row the collect
+    found."""
+    docs = load_documents(spark, sf_dir)
+    arrs = doc_shingle_arrays(docs)
+    # same token filter as doc_shingle_arrays, applied BEFORE limit(1)
+    toks_col = F.array_remove(F.split("text", " "), "")
+    seed_doc = (docs.where(F.size(toks_col) >= SHINGLE_K)
+                .orderBy("doc_id").limit(1))
+    seed = (doc_shingle_arrays(seed_doc, do_spread=False)
             .select(F.col("shs").alias("seed_shs"),
                     F.size("shs").alias("n_seed")))
-    out = (arrs.crossJoin(F.broadcast(seed))
-           .withColumn("n_sh", F.size("shs"))
-           .withColumn("n_inter", F.size(F.array_intersect("shs", "seed_shs")))
-           .withColumn("jaccard", F.round(
-               F.col("n_inter")
-               / (F.col("n_sh") + F.col("n_seed") - F.col("n_inter")), 6))
-           .select("doc_id", "jaccard"))
-    out = out.localCheckpoint(eager=True)
-    arrs.unpersist()
-    return out
+    return (arrs.crossJoin(F.broadcast(seed))
+            .withColumn("n_sh", F.size("shs"))
+            .withColumn("n_inter", F.size(F.array_intersect("shs", "seed_shs")))
+            .withColumn("jaccard", F.round(
+                F.col("n_inter")
+                / (F.col("n_sh") + F.col("n_seed") - F.col("n_inter")), 6))
+            .select("doc_id", "jaccard"))
