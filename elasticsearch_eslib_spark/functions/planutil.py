@@ -36,6 +36,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _BARRIER_COL = "__nd_barrier"
 
+_BYTE_UNITS = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+               "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+               "t": 1 << 40, "tb": 1 << 40}
+
+
+def conf_bytes(spark, key: str) -> int:
+    """A size conf as bytes: Spark answers byte configs in its own
+    byte-string syntax (e.g. openCostInBytes → '4194304b', or '4m'
+    when set that way), so a bare int() parse fails."""
+    v = str(spark.conf.get(key)).strip().lower()
+    for suf in sorted(_BYTE_UNITS, key=len, reverse=True):
+        if v.endswith(suf) and v[: -len(suf)].strip().isdigit():
+            return int(v[: -len(suf)].strip()) * _BYTE_UNITS[suf]
+    return int(v)
+
 
 def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
     """Repartition up ONLY when the input SCAN is under-parallel (a small
@@ -60,7 +75,13 @@ def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
     try:
         import os
 
-        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        mpb = conf_bytes(spark, "spark.sql.files.maxPartitionBytes")
+        # each file is charged openCostInBytes when Spark packs files
+        # into splits — without the padding the estimate undercounts the
+        # actual partition count on many-small-file corpora (e.g. 40 ×
+        # 4 MB files at mpb=8 MB: actual 40, unpadded estimate 20) and
+        # would trigger a corpus-wide repartition the old probe skipped
+        ocb = conf_bytes(spark, "spark.sql.files.openCostInBytes")
         total = 0
         for f in df.inputFiles():
             if not f.startswith("file:"):
@@ -68,7 +89,7 @@ def spread(df: DataFrame, by: str = "doc_id") -> DataFrame:
             path = f[len("file:"):]
             while path.startswith("//"):  # file:///x and file:/x both → /x
                 path = path[1:]
-            total += os.path.getsize(path)
+            total += os.path.getsize(path) + ocb
         n_scan = max(1, -(-total // mpb))
     except Exception:
         n_scan = df.rdd.getNumPartitions()

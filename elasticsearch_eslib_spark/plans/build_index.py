@@ -46,18 +46,20 @@ class BuildError(RuntimeError):
     pass
 
 
-def _dir_bytes(path: str) -> int:
-    """Total bytes of parquet data under `path` (file or directory)."""
+def _dir_bytes(path: str) -> tuple[int, int]:
+    """(total bytes, file count) of parquet data under `path`."""
     import os
 
     if os.path.isfile(path):
-        return os.path.getsize(path)
+        return os.path.getsize(path), 1
     total = 0
+    n = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
-    return total
+                n += 1
+    return total, n
 
 
 def build_index(spark: SparkSession, pages_path: str, index_dir: str,
@@ -93,7 +95,7 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         # commit group). Scoped to S1: restored before S2 planning.
         mpb_key = "spark.sql.files.maxPartitionBytes"
         mpb_old = spark.conf.get(mpb_key)
-        in_bytes = _dir_bytes(pages_path)
+        in_bytes, n_in_files = _dir_bytes(pages_path)
         if n_commit_groups is None:
             n_commit_groups = max(1, min(8, in_bytes // COMMIT_GROUP_BYTES))
         # split count must OVERSUBSCRIBE the slots (≥4×), not equal them:
@@ -117,15 +119,20 @@ def build_index(spark: SparkSession, pages_path: str, index_dir: str,
         # Python extraction (the expensive stage runs exactly once per doc)
         pages = spark.read.parquet(pages_path).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
-        # last-resort spread for inputs too small to split at the 4 MB
+        # last-resort spread for inputs too small to split at the 2 MB
         # floor yet big enough that one extraction task would drag (the
         # packed-row shuffle this causes is tiny at that size)
-        # arithmetic split estimate (same rule the scan uses) instead of
+        # arithmetic split estimate (same packing rule the scan uses,
+        # each file padded by openCostInBytes) instead of
         # pages.rdd.getNumPartitions() — the RDD conversion costs ~0.1-0.2 s
         # of driver plan building for a number already derivable from
-        # in_bytes/target (see planutil.spread for the same trade)
+        # the file sizes (see planutil.spread for the same trade)
+        from elasticsearch_eslib_spark.functions.planutil import conf_bytes
+
+        ocb = conf_bytes(spark, "spark.sql.files.openCostInBytes")
+        padded = in_bytes + n_in_files * ocb
         need_spread = (in_bytes > (8 << 20)
-                       and -(-in_bytes // target) < n_part)
+                       and -(-padded // target) < n_part)
         done = io.done_partitions("tokenized", s1_fp) if resume else set()
         if not done:
             # nothing committed for THIS input fingerprint — start S1 clean
