@@ -508,3 +508,43 @@ def test_dot_expr_matches_column_fold(spark):
     new_b = emb.select(
         "vec_id", lsh_bucket_expr("embedding", n_planes).alias("b")).collect()
     assert old_b == new_b
+
+
+def test_conf_bytes_parses_spark_byte_strings(spark):
+    """Spark answers byte configs in byte-string syntax ('4194304b');
+    conf_bytes must parse that, bare digits, and unit suffixes — the
+    spread()/need_spread split estimates depend on it."""
+    from elasticsearch_eslib_spark.functions.planutil import conf_bytes
+
+    # openCostInBytes default comes back with the 'b' suffix
+    assert conf_bytes(spark, "spark.sql.files.openCostInBytes") == 4 << 20
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for raw, want in [("8388608", 8 << 20), ("4m", 4 << 20),
+                          ("2MB", 2 << 20), ("1g", 1 << 30)]:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", raw)
+            assert conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes") == want, raw
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_decisions(spark, tmp_path):
+    """spread repartitions a tiny single-file scan and leaves a scan
+    whose padded size covers the slot count alone (openCost charged per
+    file, matching Spark's split packing)."""
+    import pandas as pd
+
+    from elasticsearch_eslib_spark.functions.planutil import spread
+
+    small = str(tmp_path / "small.parquet")
+    pd.DataFrame({"doc_id": range(100)}).to_parquet(small)
+    df = spark.read.parquet(small)
+    assert spread(df) is not df  # under-parallel → repartitioned
+
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(20):  # 20 files × (size + 4 MB openCost) ≫ slots × mpb
+        pd.DataFrame({"doc_id": [i]}).to_parquet(str(many / f"p{i}.parquet"))
+    df2 = spark.read.parquet(str(many))
+    assert spread(df2) is df2  # enough padded splits → no-op
